@@ -1,0 +1,126 @@
+"""BM25 top-k query — the exact DataFrame "oracle" path.
+
+Replaces the reference's retrieval stack
+(``/root/reference/retrieval/retrieval.py:55-110`` →
+``index/index_manager.py:203-256`` → FAISS
+``index/faiss_index.py:162-199``).  The flagship join (SURVEY §2.5 J7):
+
+    query_terms ⋈ postings ON term          (query side broadcast)
+    → per-(query, doc, term) BM25 contribution (codegen'd expression)
+    → groupBy(query, doc).sum               (partial+final hash agg)
+    → window top-k, ties broken on docID    (deterministic ranks)
+
+This path mirrors the reference's numpy fallback index
+(``/root/reference/index/fallback_index.py:124-164``): the slow exact
+implementation that the fast path (block-max WAND segments) must be
+rank-identical to — the same dual-implementation test strategy as
+``/root/reference/test_faiss_fallback.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from docinsight_spark import BM25_B, BM25_K1, DEFAULT_TOP_K
+from docinsight_spark.functions.bm25 import bm25_score_col
+from docinsight_spark.functions.tokenizer import code_tokens_udf, simple_tokens_col
+from docinsight_spark.operators.postings import CorpusStats
+
+
+def query_terms(queries: DataFrame, code_aware: bool = True) -> DataFrame:
+    """(query_id, term) — distinct query terms (bag-of-words retrieval;
+    repeated query terms count once, like the reference's sentence-level
+    query embedding collapses repetition)."""
+    tok = (
+        code_tokens_udf(F.col("query_text"), F.lit("java"))
+        if code_aware
+        else simple_tokens_col("query_text")
+    )
+    return (
+        queries.select("query_id", F.explode(tok).alias("term"))
+        .distinct()
+    )
+
+
+def bm25_scores(
+    qterms: DataFrame,
+    postings: DataFrame,
+    tstats: DataFrame,
+    dstats: DataFrame,
+    stats: CorpusStats,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """(query_id, docID, score) for every candidate doc.
+
+    Join order / strategy at scale: ``qterms`` (≤ thousands of rows) and
+    ``tstats``-restricted-to-query-terms are broadcast; ``postings``
+    streams through untouched (no shuffle on the big side for the probe
+    join); the only large shuffle is the final groupBy(query, doc),
+    whose key space is bounded by matched postings.
+    """
+    # Restrict term stats to query terms first — keeps the broadcast tiny.
+    q_with_df = qterms.join(tstats, "term", "inner")
+    scored = (
+        postings.join(F.broadcast(q_with_df), "term", "inner")
+        .join(dstats, "docID", "inner")
+        .withColumn(
+            "contrib",
+            bm25_score_col(
+                F.col("tf"), F.col("df"), F.col("dl"),
+                stats.n_docs, stats.avgdl, k1=k1, b=b,
+            ),
+        )
+    )
+    return scored.groupBy("query_id", "docID").agg(
+        F.sum("contrib").alias("score")
+    )
+
+
+def topk(scores: DataFrame, k: int = DEFAULT_TOP_K) -> DataFrame:
+    """(query_id, rank, docID, score) — deterministic docID tie-break.
+
+    Window top-k (SURVEY §2.8 T1).  The per-query partitions are small
+    after scoring, so a window (total sort per query) is the right
+    physical plan; the fast path replaces this with a bounded heap.
+    """
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("docID").asc()
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "docID", "score")
+    )
+
+
+def search(
+    queries: DataFrame,
+    postings: DataFrame,
+    tstats: DataFrame,
+    dstats: DataFrame,
+    stats: CorpusStats,
+    docs: DataFrame | None = None,
+    k: int = DEFAULT_TOP_K,
+    min_score: float | None = None,
+    code_aware: bool = True,
+) -> DataFrame:
+    """End-to-end oracle search; optionally enrich with doc metadata.
+
+    ``min_score`` mirrors the reference's MIN_SIM_THRESHOLD filter
+    (``/root/reference/index/index_manager.py:242-250``).  The metadata
+    enrichment is the reference's 3-way join
+    (``index/index_manager.py:258-286``) — the top-k side is tiny, so
+    Catalyst broadcasts it against the docs dimension.
+    """
+    qt = query_terms(queries, code_aware=code_aware)
+    ranked = topk(bm25_scores(qt, postings, tstats, dstats, stats), k=k)
+    if min_score is not None:
+        ranked = ranked.filter(F.col("score") >= F.lit(min_score))
+    if docs is not None:
+        dim = docs.select("docID", "repo", "path", "lang")
+        ranked = ranked.join(dim, "docID", "left").select(
+            "query_id", "rank", "docID", "score", "repo", "path", "lang"
+        )
+    return ranked

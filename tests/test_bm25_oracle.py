@@ -1,0 +1,109 @@
+"""BM25 oracle-path tests: formula vs hand-computed values, end-to-end
+rank sanity, plagiarism-case directional correctness (SURVEY §5)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from docinsight_spark import BM25_B, BM25_K1
+from docinsight_spark.corpus import make_plag_corpus, make_queries
+from docinsight_spark.operators.postings import (
+    build_postings,
+    corpus_stats,
+    doc_stats,
+    term_stats,
+    with_doc_id,
+)
+from docinsight_spark.operators.query import bm25_scores, query_terms, search, topk
+
+
+def bm25_ref(tf, df, dl, n, avgdl, k1=BM25_K1, b=BM25_B):
+    idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+
+@pytest.fixture(scope="module")
+def index(spark, tiny_corpus):
+    docs = with_doc_id(tiny_corpus).cache()
+    postings = build_postings(docs).cache()
+    tstats = term_stats(postings).cache()
+    dstats = doc_stats(postings).cache()
+    stats = corpus_stats(dstats)
+    return docs, postings, tstats, dstats, stats
+
+
+def test_bm25_formula_hand_computed(spark, index):
+    _, postings, tstats, dstats, stats = index
+    q = spark.createDataFrame([(0, "zqzq")], "query_id long, query_text string")
+    # inject a synthetic single-term query matching a known posting row
+    row = postings.join(tstats, "term").join(dstats, "docID").first()
+    q = spark.createDataFrame([(0, row["term"])], "query_id long, query_text string")
+    got = bm25_scores(query_terms(q, code_aware=False), postings, tstats, dstats, stats)
+    got_score = got.filter(F.col("docID") == row["docID"]).collect()[0]["score"]
+    want = bm25_ref(row["tf"], row["df"], row["dl"], stats.n_docs, stats.avgdl)
+    assert abs(got_score - want) < 1e-9
+
+
+def test_rare_term_query_hits_owner_doc(spark, index):
+    docs, postings, tstats, dstats, stats = index
+    rare = (
+        tstats.filter(F.col("term").startswith("zqrareterm"))
+        .filter(F.col("df") == 1)
+        .first()
+    )
+    assert rare is not None, "tiny corpus should contain rare terms"
+    q = spark.createDataFrame(
+        [(0, rare["term"])], "query_id long, query_text string"
+    )
+    res = search(q, postings, tstats, dstats, stats, docs=docs, k=5).collect()
+    assert len(res) == 1  # df==1 → exactly one candidate
+    owner = postings.filter(F.col("term") == rare["term"]).first()["docID"]
+    assert res[0]["docID"] == owner and res[0]["rank"] == 1
+
+
+def test_topk_deterministic_tie_break(spark):
+    scores = spark.createDataFrame(
+        [(0, 5, 1.0), (0, 3, 1.0), (0, 9, 2.0)], "query_id long, docID long, score double"
+    )
+    got = [(r["rank"], r["docID"]) for r in topk(scores, k=3).orderBy("rank").collect()]
+    assert got == [(1, 9), (2, 3), (3, 5)]
+
+
+def test_full_query_set_runs(spark, index):
+    docs, postings, tstats, dstats, stats = index
+    queries = make_queries(spark, corpus_n=200, n_queries=15)
+    res = search(queries, postings, tstats, dstats, stats, k=10)
+    pdf = res.toPandas()
+    assert pdf.groupby("query_id")["rank"].max().le(10).all()
+    # verbatim-snippet queries (kind 0: query_id % 5 == 0) must rank their
+    # own source doc first
+    verbatim = pdf[(pdf["query_id"] % 5 == 0) & (pdf["rank"] == 1)]
+    assert len(verbatim) > 0
+
+
+def test_plagiarism_directional_ranking(spark, index):
+    """Reference analog: labeled IR-Plag cases — plagiarized variants must
+    outrank non-plagiarized files for their case's original."""
+    plag = with_doc_id(make_plag_corpus(spark, n_cases=3)).cache()
+    postings = build_postings(plag).cache()
+    tstats = term_stats(postings)
+    dstats = doc_stats(postings)
+    stats = corpus_stats(dstats)
+
+    originals = plag.filter(F.col("label") == "original").select(
+        F.col("case_id").cast("long").alias("query_id"),
+        F.col("content").alias("query_text"),
+    )
+    res = search(originals, postings, tstats, dstats, stats, k=60)
+    labeled = res.join(
+        plag.select("docID", "case_id", "label", "level"), "docID"
+    ).filter(F.col("case_id") == F.col("query_id"))
+    pdf = labeled.toPandas()
+    for cid, grp in pdf.groupby("query_id"):
+        plag_ranks = grp[grp["label"] == "plagiarized"]["rank"]
+        nonp_ranks = grp[grp["label"] == "non_plagiarized"]["rank"]
+        if len(nonp_ranks) == 0:
+            continue
+        # mean plagiarized rank strictly better (lower) than mean non-plag
+        assert plag_ranks.mean() < nonp_ranks.mean(), f"case {cid}"
