@@ -1,0 +1,128 @@
+"""Physical index build + merge waves + resume + WAND rank identity
+(SURVEY §5 items 2-4)."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from docinsight_spark.corpus import make_corpus, make_queries
+from docinsight_spark.index.builder import IndexBuilder
+from docinsight_spark.index.wand import wand_search
+from docinsight_spark.operators.postings import (
+    build_postings,
+    corpus_stats,
+    doc_stats,
+    term_stats,
+    with_doc_id,
+)
+from docinsight_spark.operators.query import search
+
+
+@pytest.fixture(scope="module")
+def built_index(spark, tmp_path_factory, tiny_corpus):
+    d = str(tmp_path_factory.mktemp("idx"))
+    b = IndexBuilder(spark, d, n_buckets=8)
+    b.build(tiny_corpus, n_runs=3, fanin=2)
+    return b
+
+
+def test_manifests_and_lineage(built_index):
+    units = {m["unit"] for m in built_index.manifests()}
+    assert {"run-run00000", "run-run00001", "run-run00002"} <= units
+    assert any(u.startswith("merge-w0") for u in units)  # wave 0 ran
+    assert "merged-final" in units and "finalize" in units
+    fin = [m for m in built_index.manifests() if m["unit"] == "finalize"][0]
+    assert fin["segments_built"] > 0
+    assert fin["postings_merged"] > 0
+    assert fin["bytes_compressed"] > 0
+    # per-partition lineage table exists
+    assert os.path.exists(f"{built_index.dir}/lineage_segments")
+
+
+def test_merged_postings_equal_direct_build(spark, built_index, tiny_corpus):
+    """Splitting into runs + merging must reproduce the one-shot postings."""
+    direct = build_postings(with_doc_id(tiny_corpus))
+    final = [m for m in built_index.manifests() if m["unit"] == "merged-final"][0]
+    merged = spark.read.parquet(f"{final['source']}/postings").select(
+        "term", "docID", "tf"
+    )
+    assert merged.count() == direct.count()
+    assert merged.exceptAll(direct).count() == 0
+
+
+def test_wand_rank_identical_to_oracle(spark, built_index, tiny_corpus):
+    docs = with_doc_id(tiny_corpus)
+    postings = build_postings(docs).cache()
+    ts, ds = term_stats(postings), doc_stats(postings)
+    st = corpus_stats(ds)
+    queries = make_queries(spark, corpus_n=200, n_queries=20)
+
+    oracle = search(queries, postings, ts, ds, st, k=10).toPandas()
+    fast = wand_search(spark, built_index.dir, queries, k=10).toPandas()
+
+    o = oracle.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    f = fast.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert len(o) == len(f), (len(o), len(f))
+    for qid in o["query_id"].unique():
+        oq = o[o["query_id"] == qid]
+        fq = f[f["query_id"] == qid]
+        # scores equal within 1e-9 rank-by-rank
+        assert (abs(oq["score"].values - fq["score"].values) < 1e-9).all(), qid
+        # docIDs identical except inside exact-tie groups
+        for r in range(len(oq)):
+            if oq["docID"].values[r] != fq["docID"].values[r]:
+                tied = abs(oq["score"].values - oq["score"].values[r]) < 1e-9
+                assert fq["docID"].values[r] in set(oq["docID"].values[tied]), (
+                    qid, r, oq, fq)
+
+
+def test_resume_skips_completed_units(spark, built_index, tiny_corpus, tmp_path):
+    """Kill-and-restart: completed manifests short-circuit recompute and the
+    final stats are byte-identical."""
+    d = str(tmp_path / "idx2")
+    b1 = IndexBuilder(spark, d, n_buckets=8)
+    slices = tiny_corpus.randomSplit([1.0, 1.0, 1.0], seed=42)
+    for i, sl in enumerate(slices):
+        b1.add_run(sl, f"run{i:05d}")
+    b1.merge_all(fanin=2)
+    # simulate a crash before finalize: restart with a fresh builder
+    b2 = IndexBuilder(spark, d, n_buckets=8)
+    pre = {m["unit"]: m.get("ts") for m in b2.manifests()}
+    b2.build(tiny_corpus, n_runs=3, fanin=2)  # must skip all completed units
+    post = {m["unit"]: m.get("ts") for m in b2.manifests()}
+    for unit, ts in pre.items():
+        assert post[unit] == ts, f"unit {unit} was recomputed on resume"
+    # and the resumed index answers queries identically to the first build
+    q = make_queries(spark, corpus_n=200, n_queries=6)
+    a = wand_search(spark, built_index.dir, q, k=5).toPandas()
+    c = wand_search(spark, d, q, k=5).toPandas()
+    a = a.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    c = c.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert (abs(a["score"] - c["score"]) < 1e-9).all()
+
+
+def test_incremental_add_run_dedups_prior_docs(spark, tmp_path, tiny_corpus):
+    d = str(tmp_path / "idx3")
+    b = IndexBuilder(spark, d, n_buckets=4)
+    b.add_run(tiny_corpus, "base")
+    # adding an overlapping slice: only genuinely new docs are indexed
+    extra = make_corpus(spark, 250, seed=42)  # 200 overlap + 50 new
+    b.add_run(extra, "delta")
+    m = {x["unit"]: x for x in b.manifests()}
+    assert m["run-delta"]["docs"] == 50
+    b.merge_all(fanin=2)
+    b.finalize()
+    assert b.meta()["n_docs"] == 250
+
+
+def test_segment_files_partitioned_by_bucket(built_index):
+    parts = glob.glob(f"{built_index.dir}/segments/doc_bucket=*")
+    assert len(parts) == 8
+    with open(f"{built_index.dir}/_meta.json") as fh:
+        meta = json.load(fh)
+    assert meta["n_docs"] == 200 and meta["n_buckets"] == 8
