@@ -176,3 +176,386 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= BM25_K)
         .select("query_id", "rank", "doc_id", "score")
     )
+
+
+# ---------------------------------------------------------------------------
+# Synthetic sentence_results relation (fixture F5) derived from `events`
+# so the scoring operators are checkable against the driver's tables.
+# ---------------------------------------------------------------------------
+
+_SQL_SENT = """
+sent AS (
+  SELECT user_id::BIGINT AS doc_id,
+         (row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1)::BIGINT AS idx,
+         least(value / 20.0, 1.0) AS semantic_score,
+         ((event_id % 10) / 10.0) AS rerank_raw,
+         event_type AS best_match,
+         ((event_id % 7) + 5)::BIGINT AS tokens
+  FROM events
+),
+normed AS (
+  SELECT *,
+    CASE WHEN max(semantic_score) OVER (PARTITION BY doc_id)
+            - min(semantic_score) OVER (PARTITION BY doc_id) > 0.000001
+         THEN (semantic_score - min(semantic_score) OVER (PARTITION BY doc_id))
+              / (max(semantic_score) OVER (PARTITION BY doc_id)
+                 - min(semantic_score) OVER (PARTITION BY doc_id))
+         ELSE 0.0 END AS semantic_norm,
+    CASE WHEN max(rerank_raw) OVER (PARTITION BY doc_id)
+            - min(rerank_raw) OVER (PARTITION BY doc_id) > 0.000001
+         THEN (rerank_raw - min(rerank_raw) OVER (PARTITION BY doc_id))
+              / (max(rerank_raw) OVER (PARTITION BY doc_id)
+                 - min(rerank_raw) OVER (PARTITION BY doc_id))
+         ELSE 0.0 END AS rerank_norm
+  FROM sent
+),
+fused AS (
+  SELECT *, 0.6 * semantic_norm + 0.3 * rerank_norm + 0.1 * 0.5 AS fused_score
+  FROM normed
+),
+gated AS (
+  SELECT *,
+    CASE WHEN semantic_score < 0.35 THEN 'LOW'
+         WHEN fused_score >= 0.7 AND semantic_norm >= 0.60 THEN 'HIGH'
+         WHEN fused_score >= 0.4 AND semantic_norm >= 0.40 THEN 'MEDIUM'
+         ELSE 'LOW' END AS risk_level,
+    CASE WHEN semantic_norm >= 0.75 THEN 'STRONG'
+         WHEN semantic_norm >= 0.55 THEN 'MODERATE'
+         WHEN semantic_norm >= 0.40 THEN 'WEAK'
+         ELSE 'VERY_WEAK' END AS match_strength,
+    fused_score AS confidence_score
+  FROM fused
+)
+"""
+
+
+def _sentence_results(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark mirror of the ``gated`` CTE above, via the scoring operators."""
+    from docinsight_spark.operators import scoring as S
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    sent = ev.select(
+        F.col("user_id").cast("long").alias("doc_id"),
+        (F.row_number().over(w) - 1).cast("long").alias("idx"),
+        F.least(F.col("value") / 20.0, F.lit(1.0)).alias("semantic_score"),
+        ((F.col("event_id") % 10) / 10.0).alias("rerank_raw"),
+        F.col("event_type").alias("best_match"),
+        ((F.col("event_id") % 7) + 5).cast("long").alias("tokens"),
+    )
+    sent = S.minmax_normalize(sent, "semantic_score", ["doc_id"], "semantic_norm")
+    sent = S.minmax_normalize(sent, "rerank_raw", ["doc_id"], "rerank_norm")
+    sent = sent.withColumn("stylometry_score", F.lit(0.5))
+    sent = S.fuse_scores(sent, alpha=0.6, beta=0.3, gamma=0.1)
+    sent = S.classify_risk(sent)
+    return sent.withColumn("confidence_score", F.col("fused_score"))
+
+
+@_register(
+    "risk_gating",
+    f"WITH {_SQL_SENT} SELECT doc_id, idx, risk_level, match_strength, "
+    "round(fused_score, 4) AS fused_score FROM gated",
+)
+def risk_gating(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 min-max normalization + A10 fusion + risk gating (core.py:30-133)."""
+    return _sentence_results(spark, sf_dir).select(
+        "doc_id", "idx", "risk_level", "match_strength",
+        F.round("fused_score", 4).alias("fused_score"),
+    )
+
+
+@_register(
+    "repeated_match_decay",
+    f"""WITH {_SQL_SENT},
+occ AS (
+  SELECT *, CASE WHEN best_match IS NULL OR best_match = '' THEN 0
+                 ELSE row_number() OVER (PARTITION BY doc_id, best_match ORDER BY idx)
+            END AS occurrence
+  FROM gated
+),
+decayed AS (
+  SELECT *, power(0.85, greatest(occurrence - 2, 0)) AS m FROM occ
+)
+SELECT doc_id, idx, occurrence,
+       round(greatest(confidence_score * m, 0.0), 4) AS confidence_score,
+       CASE WHEN risk_level = 'HIGH'
+                 AND NOT (greatest(fused_score * m, 0.0) >= 0.7 AND semantic_norm >= 0.60)
+            THEN CASE WHEN greatest(fused_score * m, 0.0) >= 0.4 AND semantic_norm >= 0.40
+                      THEN 'MEDIUM' ELSE 'LOW' END
+            WHEN risk_level = 'MEDIUM'
+                 AND NOT (greatest(fused_score * m, 0.0) >= 0.4 AND semantic_norm >= 0.40)
+            THEN 'LOW'
+            ELSE risk_level END AS risk_level
+FROM decayed""",
+)
+def repeated_match_decay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 repeated-match decay (enhanced_pipeline.py:607-647)."""
+    from docinsight_spark.operators.scoring import repeated_match_decay
+
+    out = repeated_match_decay(_sentence_results(spark, sf_dir))
+    return out.select(
+        "doc_id", "idx", "occurrence",
+        F.round("confidence_score", 4).alias("confidence_score"), "risk_level",
+    )
+
+
+_SQL_SPANS = f"""WITH {_SQL_SENT},
+risky AS (SELECT * FROM gated WHERE risk_level IN ('HIGH', 'MEDIUM')),
+flagged AS (
+  SELECT *, CASE WHEN lag(risk_level) OVER w IS NULL THEN 1
+                 WHEN lag(risk_level) OVER w <> risk_level THEN 1
+                 WHEN idx - lag(idx) OVER w > 1 THEN 1
+                 ELSE 0 END AS new_span
+  FROM risky WINDOW w AS (PARTITION BY doc_id ORDER BY idx)
+),
+sessioned AS (
+  SELECT *, sum(new_span) OVER (PARTITION BY doc_id ORDER BY idx
+                                ROWS UNBOUNDED PRECEDING) AS span_id
+  FROM flagged
+),
+spans AS (
+  SELECT doc_id, span_id, risk_level,
+         min(idx) AS start_index, max(idx) AS end_index,
+         avg(confidence_score) AS avg_score,
+         sum(tokens) AS token_count,
+         count(*) AS n_sentences,
+         arg_min(semantic_norm, idx) AS first_sem_norm
+  FROM sessioned GROUP BY doc_id, span_id, risk_level
+),
+fspans AS (
+  SELECT * FROM spans
+  WHERE NOT (start_index = end_index AND first_sem_norm < 0.55)
+)"""
+
+
+@_register(
+    "risk_spans",
+    _SQL_SPANS + """
+SELECT doc_id, risk_level, start_index, end_index,
+       round(avg_score, 4) AS avg_score, token_count, n_sentences
+FROM fspans""",
+)
+def risk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W2/D3 span sessionization (scoring/core.py:139-170, 242-268)."""
+    from docinsight_spark.operators.scoring import cluster_risk_spans
+
+    spans = cluster_risk_spans(_sentence_results(spark, sf_dir))
+    return spans.select(
+        "doc_id", "risk_level", "start_index", "end_index",
+        F.round("avg_score", 4).alias("avg_score"), "token_count", "n_sentences",
+    )
+
+
+@_register(
+    "originality_report",
+    _SQL_SPANS + """,
+sent_agg AS (
+  SELECT doc_id, count(*)::BIGINT AS total_sentences, sum(tokens)::BIGINT AS total_tokens,
+         sum(CASE WHEN risk_level = 'HIGH' THEN 1 ELSE 0 END)::BIGINT AS n_high,
+         sum(CASE WHEN risk_level = 'MEDIUM' THEN 1 ELSE 0 END)::BIGINT AS n_medium,
+         sum(CASE WHEN risk_level = 'LOW' THEN 1 ELSE 0 END)::BIGINT AS n_low
+  FROM gated GROUP BY doc_id
+),
+span_agg AS (
+  SELECT doc_id, sum(token_count)::BIGINT AS plag_tokens,
+         sum(avg_score * token_count) / sum(token_count) AS severity_index,
+         count(*)::BIGINT AS n_spans
+  FROM fspans GROUP BY doc_id
+)
+SELECT s.doc_id, s.total_sentences, s.total_tokens,
+       round(coalesce(a.plag_tokens, 0) / s.total_tokens::DOUBLE, 4) AS plagiarized_coverage,
+       round(coalesce(a.severity_index, 0.0), 4) AS severity_index,
+       round(coalesce(a.n_spans, 0) / s.total_sentences::DOUBLE, 4) AS risk_span_ratio,
+       round(greatest(1.0 - (0.55 * coalesce(a.plag_tokens, 0) / s.total_tokens::DOUBLE
+                             + 0.30 * coalesce(a.severity_index, 0.0)
+                             + 0.15 * coalesce(a.n_spans, 0) / s.total_sentences::DOUBLE),
+                      0.0), 4) AS originality_score,
+       s.n_high, s.n_medium, s.n_low
+FROM sent_agg s LEFT JOIN span_agg a USING (doc_id)""",
+)
+def originality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 document originality roll-up (scoring/core.py:181-224)."""
+    from docinsight_spark.operators.scoring import (
+        cluster_risk_spans,
+        originality_scores,
+    )
+
+    sent = _sentence_results(spark, sf_dir)
+    spans = cluster_risk_spans(sent)
+    out = originality_scores(sent, spans)
+    return out.select(
+        "doc_id", "total_sentences", "total_tokens",
+        F.round("plagiarized_coverage", 4).alias("plagiarized_coverage"),
+        F.round("severity_index", 4).alias("severity_index"),
+        F.round("risk_span_ratio", 4).alias("risk_span_ratio"),
+        F.round("originality_score", 4).alias("originality_score"),
+        "n_high", "n_medium", "n_low",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stylometry (A3/A4)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "stylo_features",
+    f"""WITH {_SQL_TOKS}
+SELECT t.doc_id,
+       count(*)::BIGINT AS token_count,
+       count(DISTINCT term)::BIGINT AS unique_token_count,
+       round(avg(length(term)), 4) AS avg_word_length,
+       sum(CASE WHEN term IN ('the','a','an','and','or','but','if','of','to','in','on',
+                              'for','with','at','by','from','as','is','was','are','be',
+                              'been','it','this','that','not','no','so','than','then')
+                THEN 1 ELSE 0 END)::BIGINT AS function_word_count,
+       round(count(DISTINCT term) / count(*)::DOUBLE, 4) AS type_token_ratio
+FROM toks t GROUP BY t.doc_id""",
+)
+def stylo_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 doc-level stylometric aggregates (stylometry/features.py:28-96)."""
+    from docinsight_spark.operators.stylometry import stylo_features
+
+    out = stylo_features(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "token_count", "unique_token_count",
+        F.round("avg_word_length", 4).alias("avg_word_length"),
+        "function_word_count",
+        F.round("type_token_ratio", 4).alias("type_token_ratio"),
+    )
+
+
+@_register(
+    "bigram_entropy",
+    f"""WITH {_SQL_TOKS},
+pos_toks AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos0) AS pos
+  FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term,
+           generate_subscripts(string_split_regex(lower(text), '\\s+'), 1) AS pos0
+    FROM documents
+  ) WHERE term <> ''
+),
+grams AS (
+  SELECT doc_id, term || ' ' || lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS gram
+  FROM pos_toks QUALIFY gram IS NOT NULL
+),
+counts AS (SELECT doc_id, gram, count(*)::DOUBLE AS c FROM grams GROUP BY doc_id, gram),
+withp AS (SELECT doc_id, c / sum(c) OVER (PARTITION BY doc_id) AS p FROM counts)
+SELECT doc_id, round(sum(-p * log2(p)), 4) AS entropy FROM withp GROUP BY doc_id""",
+)
+def bigram_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 token-bigram Shannon entropy (stylometry/features.py:147-166)."""
+    from docinsight_spark.operators.stylometry import ngram_entropy
+
+    out = ngram_entropy(_docs(spark, sf_dir), n=2)
+    return out.select("doc_id", F.round("entropy", 4).alias("entropy"))
+
+
+# ---------------------------------------------------------------------------
+# Dedup / set ops (D2, D5) and corpus stats (A1)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "dedup_keepmax",
+    """SELECT event_id, user_id, event_type, value FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY value DESC, event_id) AS rn
+  FROM events
+) WHERE rn = 1""",
+)
+def dedup_keepmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 result dedup keep-max (retrieval/retrieval.py:163-172)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
+@_register(
+    "orphan_anti_join",
+    "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN "
+    "(SELECT o_custkey FROM orders)",
+)
+def orphan_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 orphan detection via left-anti join (docinsight_cli.py:219-240)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return cust.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@_register(
+    "corpus_stats_by_source",
+    """SELECT source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars,
+       round(avg(n_chars), 4) AS avg_chars
+FROM documents GROUP BY source""",
+)
+def corpus_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 corpus statistics (db/db_manager.py:112-143)."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
+
+
+@_register(
+    "dedup_exact_sha",
+    """SELECT text_sha, count(*)::BIGINT AS n, min(doc_id)::BIGINT AS keeper
+FROM (SELECT doc_id, sha256(text) AS text_sha FROM documents)
+GROUP BY text_sha""",
+)
+def dedup_exact_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 exact dedup via sha256 content hash (db/db_manager.py:215-217)."""
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.sha2(F.col("text"), 256).alias("text_sha"))
+        .groupBy("text_sha")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("keeper"))
+    )
+
+
+@_register(
+    "threshold_sweep",
+    """WITH grid AS (SELECT unnest([30,35,40,45,50,55,60,65,70,75,80,85,90]) AS t),
+labeled AS (
+  SELECT event_id, least(value / 20.0, 1.0) AS score,
+         CASE WHEN value > 10 THEN 1 ELSE 0 END AS label
+  FROM events
+)
+SELECT g.t AS threshold,
+       sum(CASE WHEN l.score >= g.t / 100.0 AND l.label = 1 THEN 1 ELSE 0 END)::BIGINT AS tp,
+       sum(CASE WHEN l.score >= g.t / 100.0 AND l.label = 0 THEN 1 ELSE 0 END)::BIGINT AS fp,
+       sum(CASE WHEN l.score < g.t / 100.0 AND l.label = 1 THEN 1 ELSE 0 END)::BIGINT AS fn
+FROM grid g CROSS JOIN labeled l GROUP BY g.t""",
+)
+def threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15 threshold-sweep calibration (scripts/evaluate_models.py:80-108)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    labeled = ev.select(
+        "event_id",
+        F.least(F.col("value") / 20.0, F.lit(1.0)).alias("score"),
+        F.when(F.col("value") > 10, 1).otherwise(0).alias("label"),
+    )
+    grid = spark.range(30, 95, 5).select(F.col("id").cast("int").alias("threshold"))
+    pred = F.col("score") >= F.col("threshold") / 100.0
+    return (
+        labeled.crossJoin(F.broadcast(grid))
+        .groupBy("threshold")
+        .agg(
+            F.sum(F.when(pred & (F.col("label") == 1), 1).otherwise(0)).alias("tp"),
+            F.sum(F.when(pred & (F.col("label") == 0), 1).otherwise(0)).alias("fp"),
+            F.sum(F.when(~pred & (F.col("label") == 1), 1).otherwise(0)).alias("fn"),
+        )
+    )
