@@ -559,3 +559,275 @@ def threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~pred & (F.col("label") == 1), 1).otherwise(0)).alias("fn"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline ops: dedup family, similarity search, text stats
+# ---------------------------------------------------------------------------
+
+_SQL_POS_TOKS = """
+pos_toks AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos0) AS pos
+  FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term,
+           generate_subscripts(string_split_regex(lower(text), '\\s+'), 1) AS pos0
+    FROM documents
+  ) WHERE term <> ''
+)
+"""
+
+_SQL_SHINGLES = _SQL_POS_TOKS + """,
+sh AS (
+  SELECT DISTINCT doc_id AS id, shingle FROM (
+    SELECT doc_id,
+           term || ' ' || lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS shingle,
+           lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS l
+    FROM pos_toks
+  ) WHERE l IS NOT NULL
+)
+"""
+
+_MH_N_HASHES, _MH_BANDS = 8, 4
+
+
+def _minhash_sql() -> str:
+    hcols = ", ".join(
+        f"min(md5('mh{i}:' || shingle)) AS h{i}" for i in range(_MH_N_HASHES)
+    )
+    rows = _MH_N_HASHES // _MH_BANDS
+    bands = []
+    for b in range(_MH_BANDS):
+        cols = " || '|' || ".join(f"h{b * rows + r}" for r in range(rows))
+        bands.append(
+            f"SELECT id, {b} AS band_id, md5({cols}) AS bkey FROM sigs"
+        )
+    banded = " UNION ALL ".join(bands)
+    return f"""WITH {_SQL_SHINGLES},
+sigs AS (SELECT id, {hcols} FROM sh GROUP BY id),
+banded AS ({banded}),
+capped AS (
+  SELECT * FROM (
+    SELECT *, count(*) OVER (PARTITION BY band_id, bkey) AS bn FROM banded
+  ) WHERE bn <= 50
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM capped a JOIN capped b USING (band_id, bkey)
+  WHERE a.id < b.id
+),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS n_inter
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.id < b.id GROUP BY 1, 2
+),
+sizes AS (SELECT id, count(*)::BIGINT AS n_sh FROM sh GROUP BY id)
+SELECT i.id_a, i.id_b,
+       round(i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter)::DOUBLE, 4) AS jaccard
+FROM inter i
+JOIN cand c ON c.id_a = i.id_a AND c.id_b = i.id_b
+JOIN sizes sa ON sa.id = i.id_a
+JOIN sizes sb ON sb.id = i.id_b
+WHERE i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter)::DOUBLE >= 0.5
+"""
+
+
+@_register("minhash_lsh_neardup", _minhash_sql())
+def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate detection (shingle → minhash → band →
+    bucket join → exact Jaccard ≥ 0.5)."""
+    from docinsight_spark.operators.dedup import minhash_near_duplicates
+
+    docs = _docs(spark, sf_dir)
+    out = minhash_near_duplicates(
+        docs, "doc_id", "text", n=2, n_hashes=_MH_N_HASHES, bands=_MH_BANDS,
+        threshold=0.5,
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def _simhash_sql() -> str:
+    bit_sums = ", ".join(
+        "sum(tf * (((CAST('0x' || substr(md5(term), 1, 8) AS BIGINT) // "
+        f"{2 ** j}) % 2) * 2 - 1)) AS s{j}"
+        for j in range(32)
+    )
+    sig = " + ".join(f"CASE WHEN s{j} > 0 THEN {2 ** j} ELSE 0 END" for j in range(32))
+    return f"""WITH {_SQL_TOKS},
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term),
+sums AS (SELECT doc_id, {bit_sums} FROM tf GROUP BY doc_id)
+SELECT doc_id, ({sig})::BIGINT AS simhash FROM sums"""
+
+
+@_register("simhash_sigs", _simhash_sql())
+def simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-weighted 32-bit SimHash signatures."""
+    from docinsight_spark.operators.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir), "doc_id", "text").select(
+        F.col("id").alias("doc_id"), "simhash"
+    )
+
+
+_EMB_TOPK_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+qx AS (
+  SELECT query_id, unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) AS pos
+  FROM q
+),
+cx AS (
+  SELECT vec_id, unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+),
+dots AS (
+  SELECT q.query_id, c.vec_id,
+         sum(q.v * c.v) AS dot,
+         sqrt(sum(q.v * q.v)) AS nq,
+         sqrt(sum(c.v * c.v)) AS nc
+  FROM qx q JOIN cx c USING (pos)
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT query_id, vec_id, round(dot / (nq * nc), 4) AS cosine FROM dots
+)
+SELECT query_id, rank, vec_id, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+@_register("embedding_cosine_topk", _EMB_TOPK_SQL)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 ANN baseline over the embeddings table."""
+    from docinsight_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    scored = cosine_topk(emb, queries, k=500000)  # rank on rounded below
+    scored = scored.select(
+        "query_id", "vec_id", F.round("cosine", 4).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
+_LANGS_SQL_MARKERS = {
+    "en": "('the','and','of','to','is','in','that','it','for','with')",
+    "de": "('der','die','das','und','ist','nicht','ein','mit','von','zu')",
+    "fr": "('le','la','les','et','est','une','pour','dans','que','des')",
+    "es": "('el','la','los','que','es','una','por','con','para','del')",
+}
+
+
+def _language_id_sql() -> str:
+    ratios = ", ".join(
+        f"sum(CASE WHEN term IN {ws} THEN 1 ELSE 0 END) / greatest(count(*), 1)::DOUBLE AS r_{lg}"
+        for lg, ws in _LANGS_SQL_MARKERS.items()
+    )
+    # fold order matches the Spark implementation: en, then de/fr/es win on strict >
+    return f"""WITH toks1k AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(substr(text, 1, 1000)), '\\s+')) AS term
+    FROM documents
+  ) WHERE term <> ''
+),
+r AS (SELECT doc_id, {ratios} FROM toks1k GROUP BY doc_id)
+SELECT doc_id,
+  CASE WHEN r_es > greatest(CASE WHEN r_fr > greatest(CASE WHEN r_de > r_en THEN r_de ELSE r_en END) THEN r_fr ELSE greatest(CASE WHEN r_de > r_en THEN r_de ELSE r_en END) END)
+       THEN 'es'
+       WHEN r_fr > greatest(CASE WHEN r_de > r_en THEN r_de ELSE r_en END) THEN 'fr'
+       WHEN r_de > r_en THEN 'de'
+       ELSE 'en' END AS lang_pred,
+  round(greatest(r_en, CASE WHEN r_de > r_en THEN r_de ELSE r_en END,
+                 greatest(r_en, r_de, r_fr, r_es)), 4) AS lang_conf
+FROM r"""
+
+
+@_register("language_id", _language_id_sql())
+def language_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram-heuristic language ID (reference: langdetect on 1000 chars)."""
+    from docinsight_spark.operators.textstats import language_id
+
+    return language_id(_docs(spark, sf_dir)).select("doc_id", "lang_pred", "lang_conf")
+
+
+@_register(
+    "quality_score",
+    f"""WITH {_SQL_TOKS},
+t AS (
+  SELECT doc_id, count(*)::BIGINT AS n,
+         sum(length(term))::DOUBLE / greatest(count(*), 1) AS mean_wl,
+         sum(CASE WHEN term IN {_LANGS_SQL_MARKERS['en']} THEN 1 ELSE 0 END)
+             / greatest(count(*), 1)::DOUBLE AS stop_ratio,
+         count(DISTINCT term) / greatest(count(*), 1)::DOUBLE AS distinct_ratio
+  FROM toks GROUP BY doc_id
+),
+d AS (
+  SELECT doc_id,
+         length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+           / greatest(length(text), 1)::DOUBLE AS alpha_ratio
+  FROM documents
+)
+SELECT t.doc_id,
+  round(0.25 * (CASE WHEN n >= 10 AND n <= 100000 THEN 1.0 ELSE 0.0 END)
+      + 0.2 * (CASE WHEN mean_wl >= 2.0 AND mean_wl <= 12.0 THEN 1.0 ELSE 0.0 END)
+      + 0.2 * least(stop_ratio * 5, 1.0)
+      + 0.2 * distinct_ratio
+      + 0.15 * alpha_ratio, 4) AS quality_score
+FROM t JOIN d USING (doc_id)""",
+)
+def quality_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality score (length/stopword/repetition bands)."""
+    from docinsight_spark.operators.textstats import quality_score
+
+    return quality_score(_docs(spark, sf_dir)).select("doc_id", "quality_score")
+
+
+@_register(
+    "token_counts",
+    """SELECT doc_id,
+       length(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+         - length(regexp_replace(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ', '', 'g'))
+         + (CASE WHEN length(trim(text)) > 0 THEN 1 ELSE 0 END) AS ws_tokens,
+       length(regexp_replace(text, '[A-Za-z0-9]+', chr(1), 'g'))
+         - length(regexp_replace(regexp_replace(text, '[A-Za-z0-9]+', chr(1), 'g'), chr(1), '', 'g'))
+         + length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS bpeish_tokens
+FROM documents""",
+)
+def token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counting."""
+    from docinsight_spark.operators.textstats import token_counts
+
+    out = token_counts(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", F.col("ws_tokens").cast("long").alias("ws_tokens"),
+        F.col("bpeish_tokens").cast("long").alias("bpeish_tokens"),
+    )
+
+
+@_register(
+    "doc_fingerprint",
+    f"""WITH {_SQL_TOKS},
+dt AS (SELECT DISTINCT doc_id, md5(term) AS th FROM toks),
+mins AS (
+  SELECT doc_id,
+         array_to_string(list_slice(list_sort(list(th)), 1, 5), '|') AS sketch
+  FROM dt GROUP BY doc_id
+)
+SELECT doc_id AS id, md5(sketch) AS fingerprint FROM mins""",
+)
+def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min-k hash sketch fingerprint per document."""
+    from docinsight_spark.operators.textstats import doc_fingerprint
+
+    return doc_fingerprint(_docs(spark, sf_dir), "doc_id", "text", k=5)

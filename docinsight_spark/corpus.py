@@ -100,7 +100,7 @@ def _render(lang: str, name: str, stmts: list[str], comments: list[str]) -> str:
             f"        {body}\n        return arg\n}}\n")
 
 
-def gen_file(i: int, seed: int = 42) -> dict:
+def gen_file(i: int, seed: int = 42, stmts_range: tuple[int, int] = (6, 26)) -> dict:
     """Deterministically generate corpus file *i* (row of F1)."""
     rng = random.Random((seed << 32) ^ (i * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFF))
     repo = f"org{i % 7}/repo{i % 23}"
@@ -109,7 +109,7 @@ def gen_file(i: int, seed: int = 42) -> dict:
     name = f"{rng.choice(_PREFIX).capitalize()}{rng.choice(_NOUN).capitalize()}{i}"
     path = f"src/{pkg}/{name}.{_EXT[lang]}"
     commit = hashlib.sha1(f"{repo}/{path}@{seed}".encode()).hexdigest()[:12]
-    n_stmts = rng.randrange(6, 26)
+    n_stmts = rng.randrange(*stmts_range)
     # ~3% of files carry a unique rare term (rare-term query targets)
     rare = f"zqrareterm{i}" if rng.random() < 0.03 else None
     stmts = [_statement(rng, lang, rare if j == 0 else None) for j in range(n_stmts)]
@@ -124,13 +124,16 @@ CORPUS_SCHEMA = "repo string, path string, commit string, lang string, content s
 
 
 def make_corpus(spark: SparkSession, n_files: int, seed: int = 42,
-                partitions: int | None = None) -> DataFrame:
+                partitions: int | None = None,
+                stmts_range: tuple[int, int] = (6, 26)) -> DataFrame:
     """Distributed deterministic corpus: ``spark.range(n) -> mapInPandas``."""
     rng_seed = seed
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield pd.DataFrame([gen_file(int(i), rng_seed) for i in pdf["id"]])
+            yield pd.DataFrame(
+                [gen_file(int(i), rng_seed, stmts_range) for i in pdf["id"]]
+            )
 
     rng = spark.range(n_files, numPartitions=partitions)
     return rng.mapInPandas(gen, schema=CORPUS_SCHEMA)

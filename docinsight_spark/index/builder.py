@@ -189,12 +189,13 @@ class IndexBuilder:
             str(r["doc_bucket"]): r["n"]
             for r in p.groupBy("doc_bucket").agg(F.count(F.lit(1)).alias("n")).collect()
         }
+        n_docs = self.spark.read.parquet(f"{base}/docs").count()
         self._commit(
             unit,
             run_id=run_id,
             postings=sum(per_bucket.values()),
             postings_per_bucket=per_bucket,
-            docs=docs.count(),
+            docs=n_docs,
         )
 
     # -- stage 2: hierarchical merge waves ---------------------------------

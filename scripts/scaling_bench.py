@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Scaling-efficiency evidence: identical job at two parallelism levels.
+
+The BASELINE rule requires ≥0.8 throughput scaling efficiency between
+N and 4N executors.  No real cluster exists in this sandbox, so (per
+BASELINE.md) we run the *identical* index-build + query job on the same
+input at ``local[8]`` and ``local[32]`` in separate JVMs and report
+
+    efficiency = (throughput_32 / throughput_8) / 4
+
+Usage: python scripts/scaling_bench.py [n_files]  → JSON on stdout.
+Each level runs in a subprocess so the JVM/master is clean per level.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+N_FILES = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
+LEVELS = [8, 32]
+
+CHILD = r"""
+import json, shutil, sys, tempfile, time
+from docinsight_spark.session import get_spark
+from docinsight_spark.corpus import make_corpus, make_queries
+from docinsight_spark.index.builder import IndexBuilder
+from docinsight_spark.index.wand import wand_search
+
+cores = int(sys.argv[1]); n_files = int(sys.argv[2])
+spark = get_spark(app_name=f"scaling_{cores}", cores=cores)
+idx = tempfile.mkdtemp(prefix=f"scale_idx_{cores}_")
+cdir = tempfile.mkdtemp(prefix=f"scale_corpus_{cores}_")
+N_QUERIES = 200
+try:
+    make_corpus(spark, n_files, partitions=cores * 2,
+                stmts_range=(30, 80)).write.mode("overwrite").parquet(cdir)
+    corpus = spark.read.parquet(cdir)
+    t0 = time.time()
+    # n_buckets fixed across parallelism levels: the JOB must be identical,
+    # only the resources change (the north-rule scaling criterion).
+    b = IndexBuilder(spark, idx, n_buckets=32)
+    b.build(corpus, n_runs=4, fanin=2)
+    build_s = time.time() - t0
+    queries = make_queries(spark, corpus_n=n_files, n_queries=N_QUERIES)
+    t0 = time.time()
+    rows = wand_search(spark, idx, queries, k=10).count()
+    query_s = time.time() - t0
+    print("CHILD_RESULT " + json.dumps({
+        "cores": cores, "build_sec": round(build_s, 3),
+        "query_sec": round(query_s, 3), "files_per_sec": round(n_files / build_s, 2),
+        "qps": round(N_QUERIES / query_s, 2), "result_rows": rows,
+    }))
+finally:
+    shutil.rmtree(idx, ignore_errors=True)
+    shutil.rmtree(cdir, ignore_errors=True)
+    spark.stop()
+"""
+
+
+def run_level(cores: int) -> dict:
+    env = dict(os.environ)
+    out = subprocess.run(
+        [sys.executable, "-c", CHILD, str(cores), str(N_FILES)],
+        capture_output=True, text=True, env=env, timeout=3600,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("CHILD_RESULT "):
+            return json.loads(line[len("CHILD_RESULT "):])
+    raise RuntimeError(f"level {cores} failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+
+
+def main() -> None:
+    results = {c: run_level(c) for c in LEVELS}
+    lo, hi = results[LEVELS[0]], results[LEVELS[1]]
+    ratio = LEVELS[1] / LEVELS[0]
+    eff_build = (hi["files_per_sec"] / lo["files_per_sec"]) / ratio
+    eff_query = (hi["qps"] / lo["qps"]) / ratio
+    print(json.dumps({
+        "n_files": N_FILES,
+        "levels": results,
+        "build_scaling_efficiency": round(eff_build, 3),
+        "query_scaling_efficiency": round(eff_query, 3),
+    }, indent=1))
+
+
+if __name__ == "__main__":
+    main()

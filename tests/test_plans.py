@@ -1,0 +1,93 @@
+"""Physical-plan regression tests: broadcast, pushdown, pruning.
+
+Correctness tests can't see a plan that would collapse at 100 TB;
+these pin the physical strategies the engine depends on."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from docinsight_spark.corpus import make_queries
+from docinsight_spark.index.builder import IndexBuilder
+from docinsight_spark.operators.postings import (
+    build_postings,
+    corpus_stats,
+    doc_stats,
+    term_stats,
+    with_doc_id,
+)
+from docinsight_spark.operators.query import bm25_scores, query_terms
+from docinsight_spark.plans.checks import (
+    assert_broadcast_join,
+    assert_pushed_filter,
+    codegen_stage_count,
+    plan_text,
+)
+
+
+@pytest.fixture(scope="module")
+def small_index(spark, tmp_path_factory, tiny_corpus):
+    d = str(tmp_path_factory.mktemp("planidx"))
+    IndexBuilder(spark, d, n_buckets=4).build(tiny_corpus)
+    return d
+
+
+def test_bm25_query_side_is_broadcast(spark, tiny_corpus):
+    docs = with_doc_id(tiny_corpus)
+    postings = build_postings(docs)
+    ts, ds = term_stats(postings), doc_stats(postings)
+    st = corpus_stats(ds)
+    q = make_queries(spark, corpus_n=200, n_queries=5)
+    scores = bm25_scores(query_terms(q), postings, ts, ds, st)
+    assert_broadcast_join(scores)
+
+
+def test_segment_scan_prunes_terms_and_columns(spark, small_index):
+    seg = spark.read.parquet(f"{small_index}/segments").filter(
+        F.col("term").isin(["return", "int"])
+    )
+    # term IN (...) must reach the parquet scan (row-group skipping via
+    # min/max stats — segments are written sorted by term)
+    assert_pushed_filter(seg, "term")
+    # a projection that drops the payload must not read it
+    slim = seg.select("term", "df")
+    p = plan_text(slim)
+    read_lines = [l for l in p.splitlines() if "ReadSchema" in l]
+    assert read_lines and all("payload" not in l for l in read_lines), p
+
+
+def test_doc_bucket_partition_pruning(spark, small_index):
+    seg = spark.read.parquet(f"{small_index}/segments").filter(
+        F.col("doc_bucket") == 2
+    )
+    p = plan_text(seg)
+    assert "PartitionFilters" in p
+    pf = [l for l in p.splitlines() if "PartitionFilters" in l]
+    assert any("doc_bucket" in l for l in pf), p
+
+
+def test_postings_scan_column_pruned(spark, small_index):
+    # doc_stats derived from postings parquet must not read `term`
+    postings = spark.read.parquet(f"{small_index}/runs/run00000/postings")
+    dl = postings.groupBy("docID").agg(F.sum("tf").alias("dl"))
+    p = plan_text(dl)
+    read_lines = [l for l in p.splitlines() if "ReadSchema" in l]
+    assert read_lines and all("term" not in l for l in read_lines), p
+
+
+def test_scoring_plan_shape(spark, tiny_corpus):
+    """BM25 scoring must be JVM-side: the formula lives in a Project
+    expression (whole-stage-codegen eligible), the final agg has a
+    map-side partial, and no Python evaluation node touches the
+    scoring subtree (the tokenizer UDF is upstream of postings only)."""
+    docs = with_doc_id(tiny_corpus)
+    postings = build_postings(docs)
+    ts, ds = term_stats(postings), doc_stats(postings)
+    st = corpus_stats(ds)
+    q = make_queries(spark, corpus_n=200, n_queries=5)
+    scores = bm25_scores(query_terms(q), postings, ts, ds, st)
+    p = plan_text(scores, "simple")
+    assert "partial_sum" in p, p           # map-side combine
+    assert p.count("BroadcastHashJoin") >= 2, p
+    # the scoring expression is a column Project, not a UDF
+    score_lines = [l for l in p.splitlines() if "ln(" in l]
+    assert score_lines and all("Project" in l for l in score_lines), p
