@@ -1,0 +1,142 @@
+"""spark-submit driver: build / query / report subcommands.
+
+Ship with::
+
+    spark-submit --py-files docinsight_spark.zip -m docinsight_spark.cli build \
+        --corpus <parquet-or-iceberg:tbl> --index /path/idx --runs 4
+    ... query  --index /path/idx --queries q.parquet --k 10 --out res.parquet
+    ... report --index /path/idx --queries docs.parquet --out report.json
+
+Replaces the reference's CLI (``/root/reference/docinsight_cli.py``:
+``ingest`` / ``reindex`` / ``search`` / ``analyze``).  On a cluster the
+session master/memory come from spark-submit; locally it falls back to
+``local[*]``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def _spark(app: str) -> SparkSession:
+    from docinsight_spark.session import get_spark
+
+    try:
+        return SparkSession.getActiveSession() or get_spark(app_name=app)
+    except Exception:
+        return get_spark(app_name=app)
+
+
+def cmd_build(args) -> int:
+    from docinsight_spark.index.builder import IndexBuilder
+    from docinsight_spark.sources.tables import read_corpus
+
+    spark = _spark("docinsight_build")
+    corpus = read_corpus(spark, args.corpus)
+    b = IndexBuilder(
+        spark, args.index, n_buckets=args.buckets, n_subs=args.subs,
+        code_aware=not args.simple_tokens,
+    )
+    b.build(corpus, n_runs=args.runs, fanin=args.fanin)
+    print(json.dumps({"status": "built", "meta": b.meta(),
+                      "units": [m["unit"] for m in b.manifests()]}))
+    return 0
+
+
+def cmd_query(args) -> int:
+    from docinsight_spark.index.wand import wand_search
+
+    spark = _spark("docinsight_query")
+    queries = spark.read.parquet(args.queries)
+    res = wand_search(spark, args.index, queries, k=args.k)
+    if args.out:
+        res.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"status": "written", "out": args.out}))
+    else:
+        for r in res.orderBy("query_id", "rank").collect():
+            print(json.dumps(dict(query_id=r["query_id"], rank=r["rank"],
+                                  docID=r["docID"], score=round(r["score"], 4))))
+    return 0
+
+
+def cmd_report(args) -> int:
+    """Originality-report analog: near-duplicate retrieval + span/risk
+    roll-up per query document (the reference's flagship analysis,
+    ``enhanced_pipeline.py:506-604``, re-expressed over BM25)."""
+    from pyspark.sql import functions as F
+
+    from docinsight_spark.index.wand import wand_search
+    from docinsight_spark.operators.scoring import minmax_normalize
+
+    spark = _spark("docinsight_report")
+    qdocs = spark.read.parquet(args.queries)
+    if "query_id" not in qdocs.columns:
+        qdocs = qdocs.withColumn("query_id", F.xxhash64("query_text"))
+    hits = wand_search(spark, args.index, qdocs, k=args.k)
+    normed = minmax_normalize(hits, "score", ["query_id"], "score_norm")
+    report = (
+        normed.groupBy("query_id")
+        .agg(
+            F.max("score").alias("top_score"),
+            F.avg("score").alias("avg_score"),
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum(F.when(F.col("score_norm") >= 0.6, 1).otherwise(0)).alias(
+                "n_strong_matches"
+            ),
+        )
+        .withColumn(
+            "risk_level",
+            F.when(F.col("n_strong_matches") >= 3, "HIGH")
+            .when(F.col("n_strong_matches") >= 1, "MEDIUM")
+            .otherwise("LOW"),
+        )
+    )
+    rows = [r.asDict() for r in report.collect()]
+    out = {"n_queries": len(rows), "results": rows}
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1, default=str)
+        print(json.dumps({"status": "written", "out": args.out}))
+    else:
+        print(json.dumps(out, default=str))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="docinsight_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build the inverted index")
+    b.add_argument("--corpus", required=True)
+    b.add_argument("--index", required=True)
+    b.add_argument("--runs", type=int, default=1)
+    b.add_argument("--fanin", type=int, default=8)
+    b.add_argument("--buckets", type=int, default=32)
+    b.add_argument("--subs", type=int, default=2)
+    b.add_argument("--simple-tokens", action="store_true")
+    b.set_defaults(fn=cmd_build)
+
+    q = sub.add_parser("query", help="BM25 top-k search")
+    q.add_argument("--index", required=True)
+    q.add_argument("--queries", required=True, help="parquet with query_id, query_text")
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--out")
+    q.set_defaults(fn=cmd_query)
+
+    r = sub.add_parser("report", help="originality-report analog")
+    r.add_argument("--index", required=True)
+    r.add_argument("--queries", required=True)
+    r.add_argument("--k", type=int, default=10)
+    r.add_argument("--out")
+    r.set_defaults(fn=cmd_report)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

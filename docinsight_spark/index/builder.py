@@ -6,38 +6,49 @@ chunk and then collects *all* vectors into driver RAM
 (``index_manager.py:84-100``).  Here every stage is a distributed job
 and the driver only moves manifests:
 
-1. **add_run** — tokenize a corpus slice → (term, docID, tf) postings,
-   document-bucketed (``doc_bucket = pmod(docID, B)``), written sorted;
-   new docs are anti-joined against already-indexed runs (the Spark
-   analog of the reference's ``WHERE embedding IS NULL`` incremental
-   resume, ``embeddings/embedder.py:147-158``, and its SHA-256 dedup
-   gate, ``ingestion/pipeline_ingest.py:265-269``).
+1. **add_run** — tokenize a corpus slice → (term, docID, tf) postings
+   with shard keys ``doc_bucket = pmod(docID, B)`` and
+   ``doc_sub = pmod(xxhash64(docID), K)``; written as plain parquet so
+   the expensive tokenize pass runs exactly once per run (no
+   re-sampling, no partitioned-commit storm).  New docs are anti-joined
+   against already-indexed runs (the Spark analog of the reference's
+   ``WHERE embedding IS NULL`` incremental resume,
+   ``embeddings/embedder.py:147-158``, and its SHA-256 dedup gate,
+   ``pipeline_ingest.py:265-269``).
 2. **merge_all** — hierarchical merge waves: fan-in groups of runs are
-   re-partitioned by ``doc_bucket`` and sort-merged within partitions
+   **repartitioned by shard and sorted within partitions**
    (repartition-and-sort-within-partitions), halving the run count per
-   wave.  Each wave step is manifest-guarded → a restarted build skips
-   completed waves.
-3. **finalize** — global stats (salted df aggregation), then a
-   streaming ``mapInPandas`` encoder turns each bucket's sorted postings
-   into delta-gap + varint segments with per-block skip data and
-   block-max BM25 scores.  Document length is read bucket-locally inside
-   the kernel (co-located parquet read) instead of shuffling a join.
+   wave; the terminal wave yields the global shard-sorted posting
+   layout.  Each wave step is manifest-guarded → a restarted build
+   skips completed waves.
+3. **finalize** — doc/term statistics (document-frequency aggregation
+   is two-stage salted against hot-term skew), then a streaming
+   ``mapInPandas`` encoder turns the sorted postings into delta-gap +
+   varint segments with per-block skip data and block-max BM25 scores.
+   The encoder consumes the merge output's file order directly — no
+   extra shuffle — with df joined in (broadcast when small) and
+   document length read bucket-locally inside the kernel.
 
-**Why document-partitioned (not term-partitioned):** each bucket holds
+**Why document-partitioned (not term-partitioned):** each shard holds
 the *complete* posting lists for its documents, so top-k scoring runs
-shard-locally (block-max WAND per bucket) and only B×k candidate rows
-shuffle for the global merge.  Hot terms spread evenly across buckets
-by construction — the doc hash, not the term, picks the partition — so
-the worst skew a hot term can cause is bounded by bucket size.
+shard-locally (block-max pruning per shard) and only ``shards × k``
+candidate rows shuffle for the global merge.  Hot terms spread evenly
+across shards by construction — the doc hash, not the term, picks the
+partition — so the worst skew a hot term can cause is bounded by shard
+size.  Shards are range-partitioned (equal keys stay whole; hash-
+partitioning B values into B partitions leaves ~1/e of slots empty and
+2-3× stragglers).
 
 Lineage: every unit writes ``manifests/<unit>.json`` atomically
-(tmp + rename) with per-partition counters (segments built, postings
-merged, bytes compressed) — the engine's analog of the reference's
+(tmp + rename) with per-partition counters (postings, docs, segments
+built, bytes compressed — row counts read from parquet footers, not
+extra Spark jobs) — the engine's analog of the reference's
 ``ingestion_runs`` lineage table (``/root/reference/db/schema.sql:43-54``).
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import time
@@ -57,7 +68,7 @@ from docinsight_spark.operators.postings import (
 )
 
 SEGMENT_SCHEMA = (
-    "doc_bucket int, term string, df long, n long, "
+    "doc_bucket int, doc_sub int, term string, df long, n long, "
     "first_doc array<long>, last_doc array<long>, bn array<int>, "
     "offsets array<long>, doc_bytes array<int>, max_score array<float>, "
     "payload binary"
@@ -69,6 +80,53 @@ def _atomic_write_json(path: str, payload: dict) -> None:
     with open(tmp, "w") as f:
         json.dump(payload, f, indent=1, default=str)
     os.replace(tmp, path)
+
+
+def _footer_rows(path: str, per_dir_key: str | None = None) -> tuple[int, dict]:
+    """Dataset row count (and per-partition-dir counts) from parquet
+    footers — no Spark job."""
+    import pyarrow.parquet as pq
+
+    total, per = 0, {}
+    for f in glob.glob(f"{path}/**/*.parquet", recursive=True):
+        n = pq.read_metadata(f).num_rows
+        total += n
+        if per_dir_key:
+            part = [p for p in f.split(os.sep) if p.startswith(f"{per_dir_key}=")]
+            if part:
+                key = part[0].split("=", 1)[1]
+                per[key] = per.get(key, 0) + n
+    return total, per
+
+
+def _segment_lineage(path: str) -> dict:
+    """Per-bucket segment counters from parquet footers: row counts and
+    the compressed size of the ``payload`` column — no Spark job."""
+    import pyarrow.parquet as pq
+
+    per: dict[str, dict] = {}
+    total_rows, total_bytes = 0, 0
+    for f in glob.glob(f"{path}/**/*.parquet", recursive=True):
+        md = pq.read_metadata(f)
+        part = [p for p in f.split(os.sep) if p.startswith("doc_bucket=")]
+        key = part[0].split("=", 1)[1] if part else "?"
+        pay = 0
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                if col.path_in_schema == "payload":
+                    pay += col.total_compressed_size
+        d = per.setdefault(key, {"segments_built": 0, "bytes_compressed": 0})
+        d["segments_built"] += md.num_rows
+        d["bytes_compressed"] += pay
+        total_rows += md.num_rows
+        total_bytes += pay
+    return {
+        "segments_built": total_rows,
+        "bytes_compressed": total_bytes,
+        "per_bucket": per,
+    }
 
 
 def read_doc_stats_bucket(index_dir: str, bucket: int) -> dict | None:
@@ -94,18 +152,27 @@ class IndexBuilder:
         spark: SparkSession,
         index_dir: str,
         n_buckets: int = 32,
+        n_subs: int = 2,
         block_size: int = BLOCK_SIZE,
         k1: float = BM25_K1,
         b: float = BM25_B,
         code_aware: bool = True,
     ):
+        """``n_buckets`` = on-disk partition dirs; ``n_subs`` = intra-bucket
+        shards.  ``B × K`` shards are the unit of sort/query parallelism;
+        every shard is a self-contained document slice."""
         self.spark = spark
         self.dir = index_dir.rstrip("/")
         self.n_buckets = n_buckets
+        self.n_subs = n_subs
         self.block_size = block_size
         self.k1, self.b = k1, b
         self.code_aware = code_aware
         os.makedirs(f"{self.dir}/manifests", exist_ok=True)
+
+    @property
+    def n_shards(self) -> int:
+        return self.n_buckets * self.n_subs
 
     # -- lineage -----------------------------------------------------------
 
@@ -143,65 +210,56 @@ class IndexBuilder:
 
     # -- stage 1: runs -----------------------------------------------------
 
-    def _bucketed(self, df: DataFrame) -> DataFrame:
+    def _sharded(self, df: DataFrame) -> DataFrame:
         return df.withColumn(
             "doc_bucket", F.pmod(F.col("docID"), F.lit(self.n_buckets)).cast("int")
+        ).withColumn(
+            "doc_sub",
+            F.pmod(F.xxhash64(F.col("docID")), F.lit(self.n_subs)).cast("int"),
         )
 
-    def add_run(self, corpus: DataFrame, run_id: str) -> None:
-        """Tokenize one corpus slice into a bucketed, sorted postings run."""
+    def add_run(
+        self, corpus: DataFrame, run_id: str, dedup_within_run: bool = True
+    ) -> None:
+        """Tokenize one corpus slice into a plain-parquet postings run.
+
+        One tokenize pass, one write; sorting/partitioning is deferred to
+        the merge waves (which must re-shuffle anyway).
+        ``dedup_within_run=False`` skips the within-slice docID dedup
+        shuffle (safe when the upstream feed is already unique — it
+        shuffles full document content, the most expensive bytes in the
+        job).  The cross-run anti-join gate always applies."""
         unit = f"run-{run_id}"
         if self._done(unit):
             return
         docs = with_doc_id(corpus)
-        # Incremental gate: drop docs already indexed by earlier runs
-        # (reference analogs: D1 sha dedup + D6 unindexed = all − indexed).
+        if dedup_within_run:
+            docs = docs.dropDuplicates(["docID"])
         prior = [m["run_id"] for m in self.manifests() if m["unit"].startswith("run-")]
-        docs = docs.dropDuplicates(["docID"])
         if prior:
             seen = self._read_union(
                 [f"{self.dir}/runs/{r}/docs" for r in prior]
             ).select("docID")
-            docs = docs.join(seen, "docID", "left_anti")
+            # broadcast the (narrow) indexed-key side: the corpus side
+            # keeps its partitioning — no shuffle of document content.
+            # At 10^12 scale this becomes a bloom-filter pre-gate + SMJ.
+            docs = docs.join(F.broadcast(seen), "docID", "left_anti")
 
-        postings = self._bucketed(build_postings(docs, code_aware=self.code_aware))
         base = f"{self.dir}/runs/{run_id}"
-        (
-            postings.repartition(self.n_buckets, "doc_bucket")
-            .sortWithinPartitions("doc_bucket", "term", "docID")
-            .write.mode("overwrite")
-            .partitionBy("doc_bucket")
-            .parquet(f"{base}/postings")
-        )
-        p = self.spark.read.parquet(f"{base}/postings")
-        (
-            p.groupBy("doc_bucket", "docID")
-            .agg(F.sum("tf").alias("dl"))
-            .repartition(self.n_buckets, "doc_bucket")
-            .write.mode("overwrite")
-            .partitionBy("doc_bucket")
-            .parquet(f"{base}/doc_stats")
-        )
+        postings = self._sharded(build_postings(docs, code_aware=self.code_aware))
+        postings.write.mode("overwrite").parquet(f"{base}/postings")
         docs.select("docID", "repo", "path", "commit", "lang", "content_sha").write.mode(
             "overwrite"
         ).parquet(f"{base}/docs")
-        per_bucket = {
-            str(r["doc_bucket"]): r["n"]
-            for r in p.groupBy("doc_bucket").agg(F.count(F.lit(1)).alias("n")).collect()
-        }
-        n_docs = self.spark.read.parquet(f"{base}/docs").count()
-        self._commit(
-            unit,
-            run_id=run_id,
-            postings=sum(per_bucket.values()),
-            postings_per_bucket=per_bucket,
-            docs=n_docs,
-        )
+        n_postings, _ = _footer_rows(f"{base}/postings")
+        n_docs, _ = _footer_rows(f"{base}/docs")
+        self._commit(unit, run_id=run_id, postings=n_postings, docs=n_docs)
 
     # -- stage 2: hierarchical merge waves ---------------------------------
 
     def merge_all(self, fanin: int = 8) -> str:
-        """Merge runs pairwise/fan-in-wise until one remains; resumable."""
+        """Repartition-and-sort merge waves until one shard-sorted layout
+        remains; resumable per wave step."""
         if self._done("merged-final"):
             return [m for m in self.manifests() if m["unit"] == "merged-final"][0][
                 "source"
@@ -213,15 +271,12 @@ class IndexBuilder:
             raise ValueError("no runs to merge")
         sources = [f"{self.dir}/runs/{r}" for r in runs]
         wave = 0
-        while len(sources) > 1:
+        while len(sources) > 1 or sources[0].startswith(f"{self.dir}/runs/"):
             groups = [sources[i : i + fanin] for i in range(0, len(sources), fanin)]
             nxt = []
             for gi, grp in enumerate(groups):
                 out = f"{self.dir}/merged/wave{wave}/g{gi}"
                 unit = f"merge-w{wave}-g{gi}"
-                if len(grp) == 1:
-                    nxt.append(grp[0])
-                    continue
                 if not self._done(unit):
                     self._merge_group(grp, out, unit)
                 nxt.append(out)
@@ -231,35 +286,22 @@ class IndexBuilder:
         return sources[0]
 
     def _merge_group(self, grp: list[str], out: str, unit: str) -> None:
-        """One merge step: repartition-and-sort-within-partitions."""
+        """One merge step: repartition-and-sort-within-partitions by shard.
+
+        Output: one file per shard inside its bucket dir, rows sorted by
+        (term, docID) — the layout the segment encoder and parquet
+        row-group pruning rely on."""
         postings = self._read_union([f"{s}/postings" for s in grp])
         (
-            postings.repartition(self.n_buckets, "doc_bucket")
-            .sortWithinPartitions("doc_bucket", "term", "docID")
+            postings.repartitionByRange(self.n_shards, "doc_bucket", "doc_sub")
+            .sortWithinPartitions("doc_bucket", "doc_sub", "term", "docID")
             .write.mode("overwrite")
             .partitionBy("doc_bucket")
             .parquet(f"{out}/postings")
         )
-        ds = self._read_union([f"{s}/doc_stats" for s in grp])
-        (
-            ds.repartition(self.n_buckets, "doc_bucket")
-            .write.mode("overwrite")
-            .partitionBy("doc_bucket")
-            .parquet(f"{out}/doc_stats")
-        )
-        self._read_union([f"{s}/docs" for s in grp]).write.mode(
-            "overwrite"
-        ).parquet(f"{out}/docs")
-        merged = self.spark.read.parquet(f"{out}/postings")
-        stats = merged.groupBy("doc_bucket").agg(
-            F.count(F.lit(1)).alias("n")
-        ).collect()
-        self._commit(
-            unit,
-            inputs=grp,
-            postings_merged=sum(r["n"] for r in stats),
-            postings_per_bucket={str(r["doc_bucket"]): r["n"] for r in stats},
-        )
+        n, per_bucket = _footer_rows(f"{out}/postings", "doc_bucket")
+        self._commit(unit, inputs=grp, postings_merged=n,
+                     postings_per_bucket=per_bucket)
 
     # -- stage 3: finalize (stats + segment encode) -------------------------
 
@@ -268,47 +310,48 @@ class IndexBuilder:
             return
         if merged_dir is None:
             final = [m for m in self.manifests() if m["unit"] == "merged-final"]
-            merged_dir = final[0]["source"] if final else f"{self.dir}/runs/" + sorted(
-                m["run_id"] for m in self.manifests() if m["unit"].startswith("run-")
-            )[0]
+            if not final:
+                raise ValueError("run merge_all() before finalize()")
+            merged_dir = final[0]["source"]
 
-        # Promote merged doc_stats / docs to index root.
-        ds = self.spark.read.parquet(f"{merged_dir}/doc_stats")
+        postings = self.spark.read.parquet(f"{merged_dir}/postings")
+
+        # doc_stats: (docID, dl) per bucket — the kernel-side dl source.
         (
-            ds.repartition(self.n_buckets, "doc_bucket")
+            postings.groupBy("doc_bucket", "docID")
+            .agg(F.sum("tf").alias("dl"))
+            .repartitionByRange(self.n_buckets, "doc_bucket")
             .write.mode("overwrite")
             .partitionBy("doc_bucket")
             .parquet(f"{self.dir}/doc_stats")
         )
-        self.spark.read.parquet(f"{merged_dir}/docs").write.mode("overwrite").parquet(
-            f"{self.dir}/docs"
-        )
-        postings = self.spark.read.parquet(f"{merged_dir}/postings")
 
         # Global stats: salted df aggregation (hot-term skew defused).
         ts = term_stats(postings.select("term", "docID", "tf"))
         ts.write.mode("overwrite").parquet(f"{self.dir}/term_stats")
+        ds = self.spark.read.parquet(f"{self.dir}/doc_stats")
         row = ds.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
         n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
         meta = {
             "n_docs": n_docs,
             "avgdl": avgdl,
             "n_buckets": self.n_buckets,
+            "n_subs": self.n_subs,
             "block_size": self.block_size,
             "k1": self.k1,
             "b": self.b,
             "code_aware": self.code_aware,
-            "version": 1,
+            "version": 2,
         }
         _atomic_write_json(f"{self.dir}/_meta.json", meta)
 
-        # Segment encode: df joins in (broadcast if small, AQE otherwise);
-        # dl is read bucket-locally inside the kernel — no dstats shuffle.
-        enc_input = (
-            self.spark.read.parquet(f"{self.dir}/term_stats")
-            .join(postings, "term")
-            .select("doc_bucket", "term", "df", "docID", "tf")
-        )
+        # Segment encode straight off the merge output: the scan preserves
+        # within-file (shard, term, docID) order, the df join broadcasts
+        # (or AQE picks SMJ at vocabulary scale), and dl is read bucket-
+        # locally in the kernel — no additional shuffle of the postings.
+        enc_input = postings.join(
+            F.broadcast(self.spark.read.parquet(f"{self.dir}/term_stats")), "term"
+        ).select("doc_bucket", "doc_sub", "term", "df", "docID", "tf")
         index_dir, k1, b, block_size = self.dir, self.k1, self.b, self.block_size
 
         def encode_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -327,9 +370,7 @@ class IndexBuilder:
                     dl_cache[bucket] = m
                 pos = np.searchsorted(m["docID"], doc_ids)
                 pos = np.clip(pos, 0, max(len(m["docID"]) - 1, 0))
-                found = len(m["docID"]) > 0
-                dl = m["dl"][pos] if found else np.ones(len(doc_ids), np.int64)
-                return dl
+                return m["dl"][pos] if len(m["docID"]) else np.ones(len(doc_ids), np.int64)
 
             def encode_groups(pdf: pd.DataFrame, hold_last: bool):
                 nonlocal carry
@@ -339,9 +380,12 @@ class IndexBuilder:
                 if len(pdf) == 0:
                     return None
                 bkt_arr = pdf["doc_bucket"].to_numpy()
+                sub_arr = pdf["doc_sub"].to_numpy()
                 term_arr = pdf["term"].to_numpy()
                 change = np.flatnonzero(
-                    (bkt_arr[1:] != bkt_arr[:-1]) | (term_arr[1:] != term_arr[:-1])
+                    (bkt_arr[1:] != bkt_arr[:-1])
+                    | (sub_arr[1:] != sub_arr[:-1])
+                    | (term_arr[1:] != term_arr[:-1])
                 ) + 1
                 bounds = np.concatenate(([0], change, [len(pdf)]))
                 last_start = bounds[-2] if hold_last and len(bounds) > 1 else len(pdf)
@@ -351,6 +395,7 @@ class IndexBuilder:
                     bounds = bounds[bounds <= last_start]
                 rows = []
                 buckets = pdf["doc_bucket"].to_numpy()
+                subs = pdf["doc_sub"].to_numpy()
                 terms = pdf["term"].to_numpy()
                 dfs = pdf["df"].to_numpy()
                 docs = pdf["docID"].to_numpy()
@@ -370,6 +415,7 @@ class IndexBuilder:
                     rows.append(
                         {
                             "doc_bucket": bkt,
+                            "doc_sub": int(subs[s]),
                             "term": str(terms[s]),
                             "df": int(dfs[s]),
                             "n": int(e - s),
@@ -388,52 +434,65 @@ class IndexBuilder:
                 out = encode_groups(pdf, hold_last=True)
                 if out is not None and len(out):
                     yield out
-            tail = encode_groups(pd.DataFrame(columns=["doc_bucket", "term", "df", "docID", "tf"]), hold_last=False) if carry is not None else None
-            if tail is not None and len(tail):
-                yield tail
+            if carry is not None:
+                tail = encode_groups(
+                    pd.DataFrame(
+                        columns=["doc_bucket", "doc_sub", "term", "df", "docID", "tf"]
+                    ),
+                    hold_last=False,
+                )
+                if tail is not None and len(tail):
+                    yield tail
 
-        segments = (
-            enc_input.repartition(self.n_buckets, "doc_bucket")
-            .sortWithinPartitions("doc_bucket", "term", "docID")
-            .mapInPandas(encode_stream, schema=SEGMENT_SCHEMA)
-        )
+        segments = enc_input.mapInPandas(encode_stream, schema=SEGMENT_SCHEMA)
         (
-            segments.repartition("doc_bucket")
-            .sortWithinPartitions("term")
-            .write.mode("overwrite")
+            segments.write.mode("overwrite")
             .partitionBy("doc_bucket")
             .parquet(f"{self.dir}/segments")
         )
-        seg = self.spark.read.parquet(f"{self.dir}/segments")
-        lineage = seg.groupBy("doc_bucket").agg(
-            F.count(F.lit(1)).alias("segments_built"),
-            F.sum("n").alias("postings_merged"),
-            F.sum(F.length("payload")).alias("bytes_compressed"),
-        )
-        lineage.write.mode("overwrite").parquet(f"{self.dir}/lineage_segments")
-        tot = lineage.agg(
-            F.sum("segments_built"), F.sum("postings_merged"), F.sum("bytes_compressed")
-        ).collect()[0]
+        # Per-partition lineage from parquet footers — counters without a
+        # Spark job (segments built, postings merged, compressed bytes).
+        lineage = _segment_lineage(f"{self.dir}/segments")
+        n_postings, _ = _footer_rows(f"{merged_dir}/postings")
+        lineage["postings_merged"] = n_postings
+        _atomic_write_json(f"{self.dir}/lineage_segments.json", lineage)
         self._commit(
             "finalize",
-            segments_built=int(tot[0]),
-            postings_merged=int(tot[1]),
-            bytes_compressed=int(tot[2]),
+            segments_built=lineage["segments_built"],
+            postings_merged=n_postings,
+            bytes_compressed=lineage["bytes_compressed"],
+            per_bucket=lineage["per_bucket"],
             n_docs=n_docs,
             avgdl=avgdl,
         )
 
     # -- convenience --------------------------------------------------------
 
-    def build(self, corpus: DataFrame, n_runs: int = 1, fanin: int = 8) -> None:
+    def docs_dim(self) -> DataFrame:
+        """(docID, repo, path, commit, lang, content_sha) — virtual union
+        of the runs' doc tables (no physical rewrite)."""
+        paths = [
+            f"{self.dir}/runs/{m['run_id']}/docs"
+            for m in self.manifests()
+            if m["unit"].startswith("run-")
+        ]
+        return self._read_union(paths)
+
+    def build(
+        self,
+        corpus: DataFrame,
+        n_runs: int = 1,
+        fanin: int = 8,
+        dedup_within_run: bool = True,
+    ) -> None:
         """Full build. ``n_runs > 1`` splits the corpus to exercise the
         merge-wave machinery (and models incremental ingest batches)."""
         if n_runs == 1:
-            self.add_run(corpus, "run00000")
+            self.add_run(corpus, "run00000", dedup_within_run)
         else:
             slices = corpus.randomSplit([1.0] * n_runs, seed=42)
             for i, sl in enumerate(slices):
-                self.add_run(sl, f"run{i:05d}")
+                self.add_run(sl, f"run{i:05d}", dedup_within_run)
         self.merge_all(fanin=fanin)
         self.finalize()
 

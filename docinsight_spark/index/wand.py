@@ -8,24 +8,29 @@ shard-per-bucket design):
    partition dirs narrow the file listing, and the ``term IN (…)``
    predicate prunes parquet row groups because segments are written
    sorted by ``term`` (min/max stats per row group).
-2. One task per bucket (repartition of the *matched segment rows only*
-   — a few rows per term per bucket, not the corpus).
+2. One task per shard ``(doc_bucket, doc_sub)`` via
+   ``repartitionByRange`` of the *matched rows only* — equal keys stay
+   whole, task sizes balance, and every shard holds the complete
+   postings of its documents, so scoring is shard-local.
 3. Inside the task, a vectorized MaxScore/block-max kernel scores each
-   query against the bucket's matched posting lists:
+   query against the shard's matched posting lists:
 
-   * terms are processed in descending upper-bound (max block score)
-     order, accumulating exact scores with numpy;
-   * once the running top-k threshold θ exceeds the sum of the
-     remaining terms' upper bounds, docs outside the accumulator can
-     no longer reach the top-k, so remaining lists are pruned to
-     blocks whose ``[first_doc, last_doc]`` range intersects the
-     accumulated candidate set (block skipping via skip metadata) and,
-     within decoded blocks, to already-accumulated docs;
-   * a bounded selection (``np.partition``) maintains θ — the heap
-     analog, vectorized.
+   * terms processed in descending upper-bound (block-max) order,
+     exact scores accumulated with numpy;
+   * once the running top-k threshold θ (k-th best partial — a lower
+     bound of the k-th best final score) exceeds the remaining terms'
+     upper-bound sum, docs outside the accumulator can no longer reach
+     the top-k, so remaining lists are pruned: only blocks whose
+     ``[first_doc, last_doc]`` range intersects the accumulated
+     candidate set are decoded (skip metadata), and decoded postings
+     are filtered to accumulated docs;
+   * decoded blocks and block scores are cached per shard across the
+     query batch — a term is decoded at most once per block per task;
+   * a bounded selection (``np.partition`` / ``np.lexsort``) maintains
+     θ and the final top-k — the min-heap analog, vectorized.
 
-4. Each (bucket, query) emits its local top-k; the global merge is a
-   tiny ``B×k``-row window per query.
+4. Each (shard, query) emits its local top-k; the global merge is a
+   tiny ``shards × k``-row window per query.
 
 Rank-identity contract vs the exact oracle
 (:mod:`docinsight_spark.operators.query`): same formula, same
@@ -45,7 +50,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from docinsight_spark.index.builder import read_doc_stats_bucket
-from docinsight_spark.index.codec import BlockMeta, decode_postings
+from docinsight_spark.index.codec import BlockMeta, decode_block
 from docinsight_spark.operators.query import query_terms
 
 
@@ -54,105 +59,101 @@ def _load_meta(index_dir: str) -> dict:
         return json.load(f)
 
 
-def _kernel_score_bucket(
-    bucket: int,
-    rows: list[dict],
+class _SegRow:
+    """One (shard, term) posting segment: lazy per-block decode + score,
+    cached across the query batch."""
+
+    __slots__ = ("term", "df", "meta", "payload", "upper", "_blocks", "_scores")
+
+    def __init__(self, term, df, meta: BlockMeta, payload, upper):
+        self.term = term
+        self.df = float(df)
+        self.meta = meta
+        self.payload = payload
+        self.upper = upper
+        self._blocks: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self._scores: dict[int, np.ndarray] = {}
+
+    def blocks_overlapping(self, doc_filter: np.ndarray | None) -> np.ndarray:
+        nb = len(self.meta.n)
+        if doc_filter is None or nb == 0:
+            return np.arange(nb)
+        lo = np.searchsorted(doc_filter, self.meta.first_doc, side="left")
+        hi = np.searchsorted(doc_filter, self.meta.last_doc, side="right")
+        return np.flatnonzero(hi > lo)
+
+    def decode(self, bi: int) -> tuple[np.ndarray, np.ndarray]:
+        got = self._blocks.get(bi)
+        if got is None:
+            got = decode_block(self.payload, self.meta, bi)
+            self._blocks[bi] = got
+        return got
+
+    def scores(self, bi: int, scorer) -> tuple[np.ndarray, np.ndarray]:
+        docs, tfs = self.decode(bi)
+        sc = self._scores.get(bi)
+        if sc is None:
+            sc = scorer(docs, tfs, self.df)
+            self._scores[bi] = sc
+        return docs, sc
+
+
+def _score_shard(
+    rows: list[_SegRow],
     queries: dict[int, list[str]],
-    index_dir: str,
     n_docs: int,
     avgdl: float,
     k1: float,
     b: float,
     k: int,
+    dl_of,
 ) -> list[tuple[int, int, float]]:
-    """Score all queries against one bucket's matched posting lists."""
-    ds = read_doc_stats_bucket(index_dir, bucket)
-    if ds is None:
-        return []
-    order = np.argsort(ds["docID"], kind="stable")
-    ds_docs, ds_dl = ds["docID"][order], ds["dl"][order].astype(np.float64)
-
-    # Decode lazily per term, cache across queries sharing a term.
-    term_rows: dict[str, list[dict]] = {}
+    term_rows: dict[str, list[_SegRow]] = {}
     for r in rows:
-        term_rows.setdefault(r["term"], []).append(r)
-    decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        term_rows.setdefault(r.term, []).append(r)
+    term_upper = {t: max(r.upper for r in rs) for t, rs in term_rows.items()}
 
-    def term_upper(term: str) -> float:
-        return max(
-            (float(np.max(r["max_score"])) if len(r["max_score"]) else 0.0)
-            for r in term_rows[term]
-        )
+    def scorer(docs: np.ndarray, tfs: np.ndarray, df: float) -> np.ndarray:
+        dl = dl_of(docs)
+        idf = np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        tf = tfs.astype(np.float64)
+        return idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
 
-    def decode_term(term: str, doc_filter: np.ndarray | None):
-        """(docIDs, scores) for a term; optionally restricted via block
-        skipping to docs already in ``doc_filter`` (sorted)."""
-        key = term
-        if doc_filter is None and key in decoded:
-            return decoded[key]
-        docs_all, scores_all = [], []
+    def gather(term: str, doc_filter: np.ndarray | None):
+        ds, ss = [], []
         for r in term_rows[term]:
-            meta = BlockMeta(
-                first_doc=np.asarray(r["first_doc"], np.int64),
-                last_doc=np.asarray(r["last_doc"], np.int64),
-                n=np.asarray(r["bn"], np.int32),
-                offset=np.asarray(r["offsets"], np.int64),
-                doc_bytes=np.asarray(r["doc_bytes"], np.int32),
-                max_score=np.asarray(r["max_score"], np.float32),
-            )
-            blocks = None
-            if doc_filter is not None and len(meta.first_doc):
-                # block skip: keep blocks whose [first,last] overlaps filter
-                lo = np.searchsorted(doc_filter, meta.first_doc, side="left")
-                hi = np.searchsorted(doc_filter, meta.last_doc, side="right")
-                blocks = np.flatnonzero(hi > lo)
-                if len(blocks) == 0:
-                    continue
-            d, t = decode_postings(r["payload"], meta, blocks)
-            if doc_filter is not None:
-                keep = (
-                    np.searchsorted(doc_filter, d, side="right")
-                    - np.searchsorted(doc_filter, d, side="left")
-                ) > 0
-                d, t = d[keep], t[keep]
-            if len(d) == 0:
-                continue
-            pos = np.searchsorted(ds_docs, d)
-            dl = ds_dl[np.clip(pos, 0, max(len(ds_docs) - 1, 0))]
-            df = float(r["df"])
-            idf = np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-            tf = t.astype(np.float64)
-            sc = idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
-            docs_all.append(d)
-            scores_all.append(sc)
-        if not docs_all:
-            out = (np.empty(0, np.int64), np.empty(0, np.float64))
-        else:
-            out = (np.concatenate(docs_all), np.concatenate(scores_all))
-        if doc_filter is None:
-            decoded[key] = out
-        return out
+            for bi in r.blocks_overlapping(doc_filter):
+                d, s = r.scores(int(bi), scorer)
+                if doc_filter is not None:
+                    keep = (
+                        np.searchsorted(doc_filter, d, side="right")
+                        - np.searchsorted(doc_filter, d, side="left")
+                    ) > 0
+                    d, s = d[keep], s[keep]
+                if len(d):
+                    ds.append(d)
+                    ss.append(s)
+        if not ds:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        return np.concatenate(ds), np.concatenate(ss)
 
-    out_rows: list[tuple[int, int, float]] = []
-    for qid, terms in queries.items():
-        terms = [t for t in set(terms) if t in term_rows]
+    out: list[tuple[int, int, float]] = []
+    for qid, qterms in queries.items():
+        terms = [t for t in set(qterms) if t in term_rows]
         if not terms:
             continue
-        terms.sort(key=term_upper, reverse=True)
-        uppers = np.array([term_upper(t) for t in terms])
+        terms.sort(key=lambda t: term_upper[t], reverse=True)
+        uppers = np.array([term_upper[t] for t in terms])
+        rem = np.concatenate([np.cumsum(uppers[::-1])[::-1], [0.0]])
         acc_docs = np.empty(0, np.int64)
         acc_scores = np.empty(0, np.float64)
         theta = -np.inf
         for ti, term in enumerate(terms):
-            # MaxScore split: a doc first seen at term ti can reach at most
-            # sum(uppers[ti:]); if θ (k-th best partial, a lower bound of
-            # the k-th best final score) already exceeds that, only
-            # accumulated docs can still make the top-k → block-skip the
-            # remaining lists down to accumulated docs.
-            prune = theta > float(uppers[ti:].sum())
-            d, s = decode_term(term, acc_docs if prune and len(acc_docs) else None)
+            # MaxScore split: a doc first seen at term ti can total at most
+            # rem[ti]; once θ exceeds that, restrict to accumulated docs.
+            prune = theta > rem[ti]
+            d, s = gather(term, acc_docs if prune and len(acc_docs) else None)
             if len(d):
-                # merge-accumulate (vectorized)
                 md = np.concatenate([acc_docs, d])
                 ms = np.concatenate([acc_scores, s])
                 uniq, inv = np.unique(md, return_inverse=True)
@@ -166,11 +167,9 @@ def _kernel_score_bucket(
         if len(acc_docs) == 0:
             continue
         kk = min(k, len(acc_docs))
-        # bounded selection: top-k by (score desc, docID asc)
         idx = np.lexsort((acc_docs, -acc_scores))[:kk]
-        for i in idx:
-            out_rows.append((qid, int(acc_docs[i]), float(acc_scores[i])))
-    return out_rows
+        out.extend((qid, int(acc_docs[i]), float(acc_scores[i])) for i in idx)
+    return out
 
 
 def wand_search(
@@ -195,31 +194,71 @@ def wand_search(
         )
     n_docs, avgdl = int(meta["n_docs"]), float(meta["avgdl"])
     k1, b = float(meta["k1"]), float(meta["b"])
-    n_buckets = int(meta["n_buckets"])
+    n_shards = int(meta["n_buckets"]) * int(meta.get("n_subs", 1))
 
-    seg = (
-        spark.read.parquet(f"{index_dir}/segments")
-        .filter(F.col("term").isin(all_terms))
+    seg = spark.read.parquet(f"{index_dir}/segments").filter(
+        F.col("term").isin(all_terms)
     )
     bc = spark.sparkContext.broadcast(qmap)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        by_bucket: dict[int, list[dict]] = {}
+        by_shard: dict[tuple[int, int], list[_SegRow]] = {}
         for pdf in batches:
-            for rec in pdf.to_dict("records"):
-                by_bucket.setdefault(int(rec["doc_bucket"]), []).append(rec)
-        out: list[tuple[int, int, float]] = []
-        for bucket, rows in by_bucket.items():
-            out.extend(
-                _kernel_score_bucket(
-                    bucket, rows, bc.value, index_dir, n_docs, avgdl, k1, b, k
+            bks = pdf["doc_bucket"].to_numpy()
+            subs = pdf["doc_sub"].to_numpy()
+            terms = pdf["term"].to_numpy()
+            dfs = pdf["df"].to_numpy()
+            fdoc, ldoc = pdf["first_doc"].values, pdf["last_doc"].values
+            bns, offs = pdf["bn"].values, pdf["offsets"].values
+            dbs, mxs = pdf["doc_bytes"].values, pdf["max_score"].values
+            pays = pdf["payload"].values
+            for i in range(len(pdf)):
+                mx = np.asarray(mxs[i], np.float32)
+                meta_i = BlockMeta(
+                    first_doc=np.asarray(fdoc[i], np.int64),
+                    last_doc=np.asarray(ldoc[i], np.int64),
+                    n=np.asarray(bns[i], np.int32),
+                    offset=np.asarray(offs[i], np.int64),
+                    doc_bytes=np.asarray(dbs[i], np.int32),
+                    max_score=mx,
                 )
+                row = _SegRow(
+                    terms[i], dfs[i], meta_i, pays[i],
+                    float(mx.max()) if len(mx) else 0.0,
+                )
+                by_shard.setdefault((int(bks[i]), int(subs[i])), []).append(row)
+
+        dl_cache: dict[int, tuple | None] = {}
+
+        def dl_lookup(bucket: int):
+            if bucket not in dl_cache:
+                ds = read_doc_stats_bucket(index_dir, bucket)
+                if ds is None:
+                    dl_cache[bucket] = None
+                else:
+                    o = np.argsort(ds["docID"], kind="stable")
+                    dl_cache[bucket] = (ds["docID"][o], ds["dl"][o].astype(np.float64))
+            return dl_cache[bucket]
+
+        out: list[tuple[int, int, float]] = []
+        for (bucket, _sub), rows in by_shard.items():
+            ds = dl_lookup(bucket)
+            if ds is None:
+                continue
+            ds_docs, ds_dl = ds
+
+            def dl_of(docs: np.ndarray) -> np.ndarray:
+                pos = np.searchsorted(ds_docs, docs)
+                return ds_dl[np.clip(pos, 0, max(len(ds_docs) - 1, 0))]
+
+            out.extend(
+                _score_shard(rows, bc.value, n_docs, avgdl, k1, b, k, dl_of)
             )
         yield pd.DataFrame(out, columns=["query_id", "docID", "score"]).astype(
             {"query_id": "int64", "docID": "int64", "score": "float64"}
         )
 
-    local = seg.repartition(n_buckets, "doc_bucket").mapInPandas(
+    local = seg.repartitionByRange(n_shards, "doc_bucket", "doc_sub").mapInPandas(
         run, schema="query_id long, docID long, score double"
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("docID"))

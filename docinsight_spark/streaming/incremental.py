@@ -1,0 +1,66 @@
+"""Streaming incremental index ingest (Structured Streaming).
+
+The reference's only "continuous" behavior is incremental index update
+(``/root/reference/index/index_manager.py:124-201``: embed chunks
+``WHERE embedding IS NULL``, add to the FAISS index).  The Spark-native
+equivalent: a Structured Streaming file source feeding
+``foreachBatch`` — every micro-batch becomes one postings *run* (same
+unit as batch ingest, same manifests), and a periodic ``refresh``
+merges runs and re-finalizes segments.  Exactly-once comes from the
+combination of the streaming checkpoint (offsets) and the builder's
+idempotent, manifest-guarded runs keyed by batch id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from docinsight_spark.corpus import CORPUS_SCHEMA
+from docinsight_spark.index.builder import IndexBuilder
+
+
+def stream_ingest(
+    spark: SparkSession,
+    builder: IndexBuilder,
+    input_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Ingest corpus files appearing under ``input_dir`` as index runs.
+
+    Returns the started ``StreamingQuery``.  With ``available_now`` the
+    query drains everything currently present and stops (the batch-
+    driven test/bootstrap mode); without it, it keeps tailing.
+    """
+    src = (
+        spark.readStream.schema(CORPUS_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(input_dir)
+    )
+
+    def sink(batch_df, epoch_id: int) -> None:
+        # one run per micro-batch; replays of the same epoch hit the
+        # completed manifest and no-op (idempotent exactly-once sink)
+        builder.add_run(batch_df, f"stream{epoch_id:05d}")
+
+    writer = src.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def refresh(builder: IndexBuilder, fanin: int = 8) -> None:
+    """Merge accumulated stream runs and rebuild segments/stats.
+
+    Clears the merge/finalize manifests so the wave plan recomputes over
+    the new run set (completed *runs* stay cached — only the merge tree
+    re-executes, which is the part invalidated by new data)."""
+    import os
+
+    for fn in os.listdir(f"{builder.dir}/manifests"):
+        if fn.startswith(("merge-", "merged-final", "finalize")):
+            os.remove(f"{builder.dir}/manifests/{fn}")
+    builder.merge_all(fanin=fanin)
+    builder.finalize()

@@ -42,7 +42,7 @@ try:
     # n_buckets fixed across parallelism levels: the JOB must be identical,
     # only the resources change (the north-rule scaling criterion).
     b = IndexBuilder(spark, idx, n_buckets=32)
-    b.build(corpus, n_runs=4, fanin=2)
+    b.build(corpus, n_runs=2, fanin=2, dedup_within_run=False)
     build_s = time.time() - t0
     queries = make_queries(spark, corpus_n=n_files, n_queries=N_QUERIES)
     t0 = time.time()
@@ -62,6 +62,8 @@ finally:
 
 def run_level(cores: int) -> dict:
     env = dict(os.environ)
+    # memory scales with cores, as it would adding executors to a cluster
+    env["SPARK_DRIVER_MEM"] = f"{3 * cores}g"
     out = subprocess.run(
         [sys.executable, "-c", CHILD, str(cores), str(N_FILES)],
         capture_output=True, text=True, env=env, timeout=3600,

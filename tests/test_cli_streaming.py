@@ -1,0 +1,122 @@
+"""CLI driver + streaming incremental ingest + golden top-k."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from docinsight_spark.cli import main as cli_main
+from docinsight_spark.corpus import make_corpus, make_queries
+from docinsight_spark.index.builder import IndexBuilder
+from docinsight_spark.index.wand import wand_search
+from docinsight_spark.streaming.incremental import refresh, stream_ingest
+
+
+@pytest.fixture(scope="module")
+def cli_env(spark, tmp_path_factory, tiny_corpus):
+    root = tmp_path_factory.mktemp("cli")
+    corpus_path = str(root / "corpus")
+    tiny_corpus.write.mode("overwrite").parquet(corpus_path)
+    queries_path = str(root / "queries")
+    make_queries(spark, corpus_n=200, n_queries=6).write.mode("overwrite").parquet(
+        queries_path
+    )
+    return {"root": str(root), "corpus": corpus_path, "queries": queries_path}
+
+
+def test_cli_build_query_report(spark, cli_env, capsys):
+    idx = f"{cli_env['root']}/idx"
+    assert cli_main([
+        "build", "--corpus", cli_env["corpus"], "--index", idx,
+        "--runs", "2", "--fanin", "2", "--buckets", "4",
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["status"] == "built" and out["meta"]["n_docs"] == 200
+
+    res_out = f"{cli_env['root']}/res"
+    assert cli_main([
+        "query", "--index", idx, "--queries", cli_env["queries"],
+        "--k", "5", "--out", res_out,
+    ]) == 0
+    res = spark.read.parquet(res_out)
+    assert res.count() > 0
+    assert res.groupBy("query_id").agg(F.max("rank")).agg(
+        F.max("max(rank)")
+    ).collect()[0][0] <= 5
+
+    rep_out = f"{cli_env['root']}/report.json"
+    assert cli_main([
+        "report", "--index", idx, "--queries", cli_env["queries"],
+        "--k", "10", "--out", rep_out,
+    ]) == 0
+    with open(rep_out) as f:
+        rep = json.load(f)
+    assert rep["n_queries"] > 0
+    assert {r["risk_level"] for r in rep["results"]} <= {"HIGH", "MEDIUM", "LOW"}
+
+
+def test_streaming_incremental_ingest(spark, tmp_path):
+    inbox = str(tmp_path / "inbox")
+    ckpt = str(tmp_path / "ckpt")
+    idx = str(tmp_path / "idx")
+    os.makedirs(inbox, exist_ok=True)
+
+    # first drop of files
+    make_corpus(spark, 60).write.mode("append").parquet(inbox)
+    b = IndexBuilder(spark, idx, n_buckets=4)
+    q = stream_ingest(spark, b, inbox, ckpt, available_now=True)
+    q.awaitTermination(120)
+    runs1 = [m for m in b.manifests() if m["unit"].startswith("run-")]
+    assert len(runs1) >= 1
+    assert sum(m["docs"] for m in runs1) == 60
+
+    # second drop — only new files are picked up by the checkpointed source
+    make_corpus(spark, 100).filter(F.xxhash64("repo", "path", "commit") % 2 == 0) \
+        .write.mode("append").parquet(inbox)
+    q = stream_ingest(spark, b, inbox, ckpt, available_now=True)
+    q.awaitTermination(120)
+    runs2 = [m for m in b.manifests() if m["unit"].startswith("run-")]
+    assert len(runs2) > len(runs1)
+    # cross-run anti-join: the 60 originals overlap the second drop's files,
+    # so indexed docs < 60 + drop2 rows
+    total_docs = sum(m["docs"] for m in runs2)
+
+    refresh(b, fanin=2)
+    assert b.meta()["n_docs"] == total_docs
+    queries = make_queries(spark, corpus_n=60, n_queries=4)
+    res = wand_search(spark, idx, queries, k=5)
+    assert res.count() > 0
+
+
+GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "golden_topk.json")
+
+
+def test_golden_topk(spark, tmp_path, tiny_corpus):
+    """Committed golden top-k of the oracle on the deterministic tiny
+    corpus; the fast path must reproduce it exactly (rank + 1e-6 score).
+    Mirrors the reference's committed demo report artifacts."""
+    idx = str(tmp_path / "gidx")
+    IndexBuilder(spark, idx, n_buckets=4).build(tiny_corpus)
+    queries = make_queries(spark, corpus_n=200, n_queries=10)
+    got = (
+        wand_search(spark, idx, queries, k=5)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    rows = [
+        {"query_id": r["query_id"], "rank": r["rank"], "docID": str(r["docID"]),
+         "score": round(r["score"], 6)}
+        for r in got
+    ]
+    if not os.path.exists(GOLDEN_PATH):  # first run commits the golden
+        with open(GOLDEN_PATH, "w") as f:
+            json.dump(rows, f, indent=0)
+        pytest.skip("golden file created; commit it")
+    with open(GOLDEN_PATH) as f:
+        want = json.load(f)
+    assert len(rows) == len(want)
+    for a, b in zip(rows, want):
+        assert (a["query_id"], a["rank"], a["docID"]) == (
+            b["query_id"], b["rank"], b["docID"]), (a, b)
+        assert abs(a["score"] - b["score"]) < 1e-6

@@ -40,8 +40,14 @@ def test_manifests_and_lineage(built_index):
     assert fin["segments_built"] > 0
     assert fin["postings_merged"] > 0
     assert fin["bytes_compressed"] > 0
-    # per-partition lineage table exists
-    assert os.path.exists(f"{built_index.dir}/lineage_segments")
+    # per-partition lineage counters exist and cover all buckets
+    assert os.path.exists(f"{built_index.dir}/lineage_segments.json")
+    with open(f"{built_index.dir}/lineage_segments.json") as fh:
+        lineage = json.load(fh)
+    assert len(lineage["per_bucket"]) == 8
+    assert sum(v["segments_built"] for v in lineage["per_bucket"].values()) == (
+        lineage["segments_built"]
+    )
 
 
 def test_merged_postings_equal_direct_build(spark, built_index, tiny_corpus):
