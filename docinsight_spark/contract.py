@@ -831,3 +831,70 @@ def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docinsight_spark.operators.textstats import doc_fingerprint
 
     return doc_fingerprint(_docs(spark, sf_dir), "doc_id", "text", k=5)
+
+
+# ---------------------------------------------------------------------------
+# Chunking (C2/P7) and roll-ups (A7)
+# ---------------------------------------------------------------------------
+
+_CHUNK_W, _CHUNK_OV, _CHUNK_MAX = 200, 40, 100
+_CHUNK_STEP = _CHUNK_W - _CHUNK_OV
+
+
+@_register(
+    "chunk_sliding",
+    f"""WITH starts AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1,
+             least(greatest(length(text), 1), 1 + {_CHUNK_STEP} * ({_CHUNK_MAX} - 1)),
+             {_CHUNK_STEP})) AS start,
+         generate_subscripts(generate_series(1,
+             least(greatest(length(text), 1), 1 + {_CHUNK_STEP} * ({_CHUNK_MAX} - 1)),
+             {_CHUNK_STEP}), 1) AS ord
+  FROM documents
+)
+SELECT doc_id::BIGINT AS id, (ord - 1)::BIGINT AS ordinal, start::BIGINT AS start,
+       substring(text, start, {_CHUNK_W}) AS chunk
+FROM starts WHERE length(substring(text, start, {_CHUNK_W})) > 0""",
+)
+def chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2/P7 sliding-window chunking (pipeline_ingest.py:143-170)."""
+    from docinsight_spark.operators.chunking import sliding_window_chunks
+
+    out = sliding_window_chunks(
+        _docs(spark, sf_dir), "doc_id", "text",
+        window_chars=_CHUNK_W, overlap_chars=_CHUNK_OV, max_chunks=_CHUNK_MAX,
+    )
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("ordinal").cast("long").alias("ordinal"),
+        F.col("start").cast("long").alias("start"),
+        "chunk",
+    )
+
+
+@_register(
+    "semantic_risk_rollup",
+    f"""WITH {_SQL_SENT}
+SELECT doc_id,
+       round(0.5 * avg(semantic_score)
+           + 0.3 * avg(CASE WHEN risk_level = 'HIGH' THEN 1.0 ELSE 0.0 END)
+           + 0.2 * avg(CASE WHEN risk_level = 'MEDIUM' THEN 1.0 ELSE 0.0 END), 4)
+         AS semantic_risk,
+       round(avg(semantic_score), 4) AS avg_similarity,
+       round(avg(CASE WHEN risk_level = 'HIGH' THEN 1.0 ELSE 0.0 END), 4) AS high_ratio,
+       round(avg(CASE WHEN risk_level = 'MEDIUM' THEN 1.0 ELSE 0.0 END), 4) AS medium_ratio
+FROM gated GROUP BY doc_id""",
+)
+def semantic_risk_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 semantic risk roll-up (scoring/aggregate.py:113-147)."""
+    from docinsight_spark.operators.scoring import semantic_risk_rollup
+
+    out = semantic_risk_rollup(_sentence_results(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.round("semantic_risk", 4).alias("semantic_risk"),
+        F.round("avg_similarity", 4).alias("avg_similarity"),
+        F.round("high_ratio", 4).alias("high_ratio"),
+        F.round("medium_ratio", 4).alias("medium_ratio"),
+    )

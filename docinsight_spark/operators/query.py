@@ -124,3 +124,30 @@ def search(
             "query_id", "rank", "docID", "score", "repo", "path", "lang"
         )
     return ranked
+
+
+def search_rerank(
+    queries: DataFrame,
+    postings: DataFrame,
+    tstats: DataFrame,
+    dstats: DataFrame,
+    stats: CorpusStats,
+    k: int = DEFAULT_TOP_K,
+    overfetch: int = 2,
+    code_aware: bool = True,
+) -> DataFrame:
+    """T7 two-stage retrieval: over-fetch ``overfetch·k`` candidates with
+    a cheap first pass, exact-rescore the candidate set, re-rank, cut to
+    k (reference: ``retrieval/retrieval.py:253-268`` fetches 2k before
+    the cross-encoder; here stage 2 is exact BM25 rescoring).
+
+    The candidate cut bounds stage-2 cost: only ``queries × 2k`` rows
+    reach the rescore join regardless of corpus size."""
+    qt = query_terms(queries, code_aware=code_aware)
+    stage1 = topk(bm25_scores(qt, postings, tstats, dstats, stats), k=overfetch * k)
+    cand = stage1.select("query_id", "docID")
+    rescored = (
+        bm25_scores(qt, postings, tstats, dstats, stats)
+        .join(cand, ["query_id", "docID"], "left_semi")
+    )
+    return topk(rescored, k=k)

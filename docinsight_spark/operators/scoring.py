@@ -268,3 +268,46 @@ def top_risk_spans(spans: DataFrame, doc_col: str = "doc_id", n: int = 3) -> Dat
         spans.withColumn("span_rank", F.row_number().over(w))
         .filter(F.col("span_rank") <= n)
     )
+
+
+# -- A7: semantic risk roll-up (scoring/aggregate.py:113-147) -----------------
+
+def semantic_risk_rollup(
+    sentences: DataFrame, doc_col: str = "doc_id",
+    score_col: str = "semantic_score", risk_col: str = "risk_level",
+) -> DataFrame:
+    """avg similarity ×0.5 + HIGH ratio ×0.3 + MEDIUM ratio ×0.2."""
+    return sentences.groupBy(doc_col).agg(
+        (
+            F.avg(score_col) * 0.5
+            + F.avg(F.when(F.col(risk_col) == "HIGH", 1.0).otherwise(0.0)) * 0.3
+            + F.avg(F.when(F.col(risk_col) == "MEDIUM", 1.0).otherwise(0.0)) * 0.2
+        ).alias("semantic_risk"),
+        F.avg(score_col).alias("avg_similarity"),
+        F.avg(F.when(F.col(risk_col) == "HIGH", 1.0).otherwise(0.0)).alias("high_ratio"),
+        F.avg(F.when(F.col(risk_col) == "MEDIUM", 1.0).otherwise(0.0)).alias("medium_ratio"),
+    )
+
+
+# -- A8: stylometric deviation roll-up (scoring/aggregate.py:149-183) ---------
+
+def stylometric_deviation_rollup(
+    profile: DataFrame, baseline: DataFrame, feature_cols: list[str],
+    key: str = "doc_id",
+) -> DataFrame:
+    """Per-feature |Δ|/baseline capped at 2, averaged, sigmoid-squashed."""
+    b = baseline.select(
+        F.col(key).alias(key), *[F.col(c).alias(f"_b_{c}") for c in feature_cols]
+    )
+    joined = profile.join(b, key)
+    deltas = [
+        F.least(
+            F.abs(F.col(c) - F.col(f"_b_{c}"))
+            / F.greatest(F.abs(F.col(f"_b_{c}")), F.lit(1e-9)),
+            F.lit(2.0),
+        )
+        for c in feature_cols
+    ]
+    raw = sum(deltas[1:], deltas[0]) / F.lit(float(len(feature_cols)))
+    sig = F.lit(1.0) / (F.lit(1.0) + F.exp(-(raw - F.lit(0.5)) * F.lit(4.0)))
+    return joined.select(key, raw.alias("raw_deviation"), sig.alias("stylometric_deviation"))

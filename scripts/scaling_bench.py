@@ -20,7 +20,9 @@ import subprocess
 import sys
 
 N_FILES = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
-LEVELS = [8, 32]
+# N and 4N parallelism levels; override e.g. SCALING_LEVELS=2,8 when the
+# host carries external load (local[32] can't get 32 free cores then)
+LEVELS = [int(x) for x in os.environ.get("SCALING_LEVELS", "8,32").split(",")]
 
 CHILD = r"""
 import json, shutil, sys, tempfile, time
@@ -60,18 +62,33 @@ finally:
 """
 
 
+REPEATS = int(os.environ.get("SCALING_REPEATS", "2"))
+
+
 def run_level(cores: int) -> dict:
     env = dict(os.environ)
-    # memory scales with cores, as it would adding executors to a cluster
-    env["SPARK_DRIVER_MEM"] = f"{3 * cores}g"
-    out = subprocess.run(
-        [sys.executable, "-c", CHILD, str(cores), str(N_FILES)],
-        capture_output=True, text=True, env=env, timeout=3600,
-    )
-    for line in out.stdout.splitlines():
-        if line.startswith("CHILD_RESULT "):
-            return json.loads(line[len("CHILD_RESULT "):])
-    raise RuntimeError(f"level {cores} failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+    # memory scales with cores (as adding executors would), capped sanely
+    env["SPARK_DRIVER_MEM"] = f"{min(2 * cores, 48)}g"
+    best = None
+    for rep in range(REPEATS):
+        out = subprocess.run(
+            [sys.executable, "-c", CHILD, str(cores), str(N_FILES)],
+            capture_output=True, text=True, env=env, timeout=3600,
+        )
+        got = None
+        for line in out.stdout.splitlines():
+            if line.startswith("CHILD_RESULT "):
+                got = json.loads(line[len("CHILD_RESULT "):])
+        if got is None:
+            raise RuntimeError(
+                f"level {cores} failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}"
+            )
+        # best-of-N: the host is shared, single shots are noisy
+        if best is None or got["build_sec"] + got["query_sec"] < (
+            best["build_sec"] + best["query_sec"]
+        ):
+            best = got
+    return best
 
 
 def main() -> None:
