@@ -118,3 +118,24 @@ def tokenize_code_pandas(content: pd.Series, lang: pd.Series | None = None) -> p
 def code_tokens_udf(content: pd.Series, lang: pd.Series) -> pd.Series:
     """pandas UDF wrapper: ``code_tokens_udf(content, lang) -> array<string>``."""
     return tokenize_code_pandas(content, lang)
+
+
+# ---------------------------------------------------------------------------
+# Mask analysis (SURVEY P4 + A12): what got stripped, per kind
+# ---------------------------------------------------------------------------
+
+_KIND_PATTERNS = {
+    "line_comment": re.compile(r"//[^\n]*|#[^\n]*"),
+    "block_comment": re.compile(r"/\*.*?\*/|\"\"\".*?\"\"\"|'''.*?'''", re.DOTALL),
+    "string_literal": re.compile(r'"(?:\\.|[^"\\\n])*"' + r"|'(?:\\.|[^'\\\n])*'"),
+}
+
+
+def mask_summary_pandas(content: pd.Series) -> pd.DataFrame:
+    """Per-row counts of masked constructs — the analog of the
+    reference's citation summary (``ingestion/citation_mask.py:138-153``,
+    per-pattern-type counts). Vectorized ``str.count`` per kind."""
+    out = {}
+    for kind, pat in _KIND_PATTERNS.items():
+        out[f"n_{kind}"] = content.fillna("").str.count(pat)
+    return pd.DataFrame(out)
