@@ -85,6 +85,17 @@ def main() -> None:
         extras["wand_result_rows"] = n
         extras["wand_qps"] = round(40 / timings["wand_query"], 2)
 
+        # -- single-query latency percentiles (BASELINE: p50/p95) ----------
+        lat = []
+        for qid in range(12):
+            one = queries.filter(F.col("query_id") == qid)
+            t0 = time.time()
+            wand_search(spark, idx_dir, one, k=10).count()
+            lat.append(time.time() - t0)
+        lat.sort()
+        extras["query_p50_sec"] = round(lat[len(lat) // 2], 3)
+        extras["query_p95_sec"] = round(lat[int(len(lat) * 0.95)], 3)
+
         # -- contract headline queries at SF_DIR ---------------------------
         from docinsight_spark.contract import QUERIES
 

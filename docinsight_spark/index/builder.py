@@ -499,3 +499,31 @@ class IndexBuilder:
     def meta(self) -> dict:
         with open(f"{self.dir}/_meta.json") as f:
             return json.load(f)
+
+
+def purge_index(index_dir: str) -> None:
+    """S13 purge: drop every index artifact (segments, stats, runs,
+    merges, manifests) — the reference's cascade purge + VACUUM
+    (``/root/reference/db/db_manager.py:145-165``)."""
+    import shutil
+
+    for sub in ("segments", "doc_stats", "term_stats", "docs", "runs",
+                "merged", "manifests", "lineage_segments.json", "_meta.json"):
+        path = os.path.join(index_dir, sub)
+        if os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+        elif os.path.exists(path):
+            os.remove(path)
+
+
+def purge_run(index_dir: str, run_id: str) -> None:
+    """S13 per-source purge: drop one run and the downstream merge /
+    finalize artifacts it contributed to (they must rebuild)."""
+    import shutil
+
+    shutil.rmtree(os.path.join(index_dir, "runs", run_id), ignore_errors=True)
+    mdir = os.path.join(index_dir, "manifests")
+    for fn in os.listdir(mdir) if os.path.isdir(mdir) else []:
+        if fn.startswith((f"run-{run_id}", "merge-", "merged-final", "finalize")):
+            os.remove(os.path.join(mdir, fn))
+    shutil.rmtree(os.path.join(index_dir, "merged"), ignore_errors=True)

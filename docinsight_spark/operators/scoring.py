@@ -311,3 +311,17 @@ def stylometric_deviation_rollup(
     raw = sum(deltas[1:], deltas[0]) / F.lit(float(len(feature_cols)))
     sig = F.lit(1.0) / (F.lit(1.0) + F.exp(-(raw - F.lit(0.5)) * F.lit(4.0)))
     return joined.select(key, raw.alias("raw_deviation"), sig.alias("stylometric_deviation"))
+
+
+# -- A11: confidence estimate (scoring/aggregate.py:306-332) ------------------
+
+def confidence_estimate(
+    sentences: DataFrame, doc_col: str = "doc_id", cap_at: int = 20,
+) -> DataFrame:
+    """Volume-based analysis confidence: mean of per-doc capped counts —
+    more analyzed sentences → more confidence, capped at ``cap_at``."""
+    return sentences.groupBy(doc_col).agg(
+        F.round(
+            F.least(F.count(F.lit(1)) / F.lit(float(cap_at)), F.lit(1.0)), 4
+        ).alias("analysis_confidence")
+    )
