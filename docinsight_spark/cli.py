@@ -64,39 +64,32 @@ def cmd_query(args) -> int:
 
 
 def cmd_report(args) -> int:
-    """Originality-report analog: near-duplicate retrieval + span/risk
-    roll-up per query document (the reference's flagship analysis,
-    ``enhanced_pipeline.py:506-604``, re-expressed over BM25)."""
+    """Originality report: the full analysis pipeline (sentence-level
+    retrieval → fusion → gating → decay → span clustering → originality
+    roll-up), the reference's flagship analysis
+    (``enhanced_pipeline.py:506-604``) re-expressed over BM25."""
     from pyspark.sql import functions as F
 
-    from docinsight_spark.index.wand import wand_search
-    from docinsight_spark.operators.scoring import minmax_normalize
+    from docinsight_spark.operators.pipeline import analyze_documents
+    from docinsight_spark.operators.scoring import top_risk_spans
 
     spark = _spark("docinsight_report")
     qdocs = spark.read.parquet(args.queries)
-    if "query_id" not in qdocs.columns:
-        qdocs = qdocs.withColumn("query_id", F.xxhash64("query_text"))
-    hits = wand_search(spark, args.index, qdocs, k=args.k)
-    normed = minmax_normalize(hits, "score", ["query_id"], "score_norm")
-    report = (
-        normed.groupBy("query_id")
-        .agg(
-            F.max("score").alias("top_score"),
-            F.avg("score").alias("avg_score"),
-            F.count(F.lit(1)).alias("n_candidates"),
-            F.sum(F.when(F.col("score_norm") >= 0.6, 1).otherwise(0)).alias(
-                "n_strong_matches"
-            ),
-        )
-        .withColumn(
-            "risk_level",
-            F.when(F.col("n_strong_matches") >= 3, "HIGH")
-            .when(F.col("n_strong_matches") >= 1, "MEDIUM")
-            .otherwise("LOW"),
-        )
+    id_col = "doc_id" if "doc_id" in qdocs.columns else None
+    text_col = "content" if "content" in qdocs.columns else "query_text"
+    if id_col is None:
+        qdocs = qdocs.withColumn("doc_id", F.xxhash64(text_col))
+    sent, spans, orig = analyze_documents(
+        spark, args.index, qdocs, id_col="doc_id", text_col=text_col, k=args.k
     )
-    rows = [r.asDict() for r in report.collect()]
-    out = {"n_queries": len(rows), "results": rows}
+    top = top_risk_spans(spans, n=3)
+    orig_rows = [r.asDict() for r in orig.collect()]
+    span_rows = [r.asDict() for r in top.collect()]
+    out = {
+        "n_documents": len(orig_rows),
+        "originality": orig_rows,
+        "top_risk_spans": span_rows,
+    }
     if args.out:
         with open(args.out, "w") as f:
             json.dump(out, f, indent=1, default=str)

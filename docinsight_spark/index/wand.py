@@ -51,7 +51,6 @@ from pyspark.sql import functions as F
 
 from docinsight_spark.index.builder import read_doc_stats_bucket
 from docinsight_spark.index.codec import BlockMeta, decode_block
-from docinsight_spark.operators.query import query_terms
 
 
 def _load_meta(index_dir: str) -> dict:
@@ -183,10 +182,27 @@ def wand_search(
     meta = _load_meta(index_dir)
     if code_aware is None:
         code_aware = bool(meta.get("code_aware", True))
-    qt = query_terms(queries, code_aware=code_aware).collect()
+    # Tokenize the (small) query batch driver-side — saves one Spark job
+    # per search call; queries are bounded, documents are not.
+    qrows = queries.select("query_id", "query_text").collect()
+    if code_aware:
+        from docinsight_spark.functions.tokenizer import tokenize_code_pandas
+
+        toks = tokenize_code_pandas(
+            pd.Series([r["query_text"] for r in qrows]),
+            pd.Series(["java"] * len(qrows)),
+        )
+    else:
+        import re as _re
+
+        toks = [
+            [t for t in _re.split(r"\s+", (r["query_text"] or "").lower()) if t]
+            for r in qrows
+        ]
     qmap: dict[int, list[str]] = {}
-    for r in qt:
-        qmap.setdefault(int(r["query_id"]), []).append(r["term"])
+    for r, ts in zip(qrows, toks):
+        qmap.setdefault(int(r["query_id"]), []).extend(ts)
+    qmap = {q: sorted(set(ts)) for q, ts in qmap.items() if ts}
     all_terms = sorted({t for ts in qmap.values() for t in ts})
     if not all_terms:
         return spark.createDataFrame(

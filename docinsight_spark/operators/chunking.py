@@ -157,3 +157,29 @@ def remove_overlapping_spans(
         return pd.DataFrame(kept_rows, columns=pdf.columns)
 
     return spans.groupBy(id_col).applyInPandas(greedy, schema=spans.schema)
+
+
+def chunk_corpus(
+    corpus: DataFrame,
+    window_chars: int = 600,
+    overlap_chars: int = 100,
+    max_chunks: int = MAX_CHUNKS_PER_DOC,
+) -> DataFrame:
+    """Corpus-shaped chunk table: each chunk becomes its own indexable
+    document (``path#ordinal``), mirroring the reference's unit of
+    retrieval (chunks, not whole files — ``db/schema.sql:29-41``).
+    Feed the result to ``IndexBuilder.build`` for chunk-granular search."""
+    chunks = sliding_window_chunks(
+        corpus.withColumn(
+            "_cid", F.concat_ws("\x00", "repo", "path", "commit", "lang")
+        ),
+        "_cid", "content", window_chars, overlap_chars, max_chunks,
+    )
+    parts = F.split(F.col("id"), "\x00")
+    return chunks.select(
+        parts.getItem(0).alias("repo"),
+        F.concat(parts.getItem(1), F.lit("#"), F.col("ordinal")).alias("path"),
+        parts.getItem(2).alias("commit"),
+        parts.getItem(3).alias("lang"),
+        F.col("chunk").alias("content"),
+    )

@@ -52,8 +52,10 @@ def test_cli_build_query_report(spark, cli_env, capsys):
     ]) == 0
     with open(rep_out) as f:
         rep = json.load(f)
-    assert rep["n_queries"] > 0
-    assert {r["risk_level"] for r in rep["results"]} <= {"HIGH", "MEDIUM", "LOW"}
+    assert rep["n_documents"] > 0
+    for r in rep["originality"]:
+        assert 0.0 <= r["originality_score"] <= 1.0
+        assert r["total_sentences"] >= 1
 
 
 def test_streaming_incremental_ingest(spark, tmp_path):
