@@ -168,3 +168,76 @@ def embedding_near_duplicates(
         .select("id_a", "id_b", _dot(F.col("va"), F.col("vb")).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF: KMeans-partitioned ANN (the classic FAISS IVF layout, Spark-native)
+# ---------------------------------------------------------------------------
+
+def ivf_index(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    seed: int = 42,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Partition vectors into Voronoi cells via MLlib KMeans.
+
+    Returns (assigned, centroids): ``assigned`` carries ``ivf_cluster``;
+    persist it partitioned by ``ivf_cluster`` so queries prune cells at
+    scan time (the IVF analog of the reference's flat index — FAISS
+    ``IndexFlatIP``, ``/root/reference/config.py:244`` — traded for a
+    pruned scan)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    u = with_unit_vectors(df, vec_col)
+    feat = u.withColumn("_fv", array_to_vector(F.col("unit_vec")))
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="_fv",
+                   predictionCol="ivf_cluster").fit(feat)
+    assigned = model.transform(feat).drop("_fv").select(
+        F.col(id_col).alias("vec_id"), F.col("unit_vec"), "ivf_cluster"
+    )
+    centroids = [c.tolist() for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: probe the ``nprobe`` nearest cells per query,
+    exact cosine inside.  Query→cell assignment happens driver-side
+    (query batches are small; the centroid table is tiny)."""
+    import numpy as np
+
+    cent = np.asarray(centroids, dtype=np.float64)
+    cent = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    qrows = with_unit_vectors(queries, vec_col).select(
+        F.col(query_id).alias("query_id"), "unit_vec"
+    ).collect()
+    pairs = []
+    for r in qrows:
+        qv = np.asarray(r["unit_vec"], dtype=np.float64)
+        sims = cent @ qv
+        for c in np.argsort(-sims)[:nprobe]:
+            pairs.append((int(r["query_id"]), int(c), [float(x) for x in qv]))
+    spark = assigned.sparkSession
+    probes = spark.createDataFrame(
+        pairs, "query_id long, ivf_cluster int, qv array<double>"
+    )
+    cand = assigned.join(F.broadcast(probes), "ivf_cluster").select(
+        "query_id", "vec_id", _dot(F.col("unit_vec"), F.col("qv")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        cand.dropDuplicates(["query_id", "vec_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )

@@ -174,3 +174,24 @@ def test_multimodal_plumbing(spark):
     assert (frames["frame_idx"] % 10 == 0).all()
     with pytest.raises(NotImplementedError):
         extract_features(media, decoder="real")
+
+
+def test_ivf_topk_recall(spark, emb):
+    from docinsight_spark.operators.similarity import ivf_index, ivf_topk
+
+    assigned, centroids = ivf_index(emb, n_centroids=8)
+    assigned = assigned.cache()
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(emb, queries, k=5).toPandas()
+    approx = ivf_topk(assigned, centroids, queries, k=5, nprobe=3).toPandas()
+    # self-hit must survive (its own cell is always probed)
+    a1 = approx[approx["rank"] == 1]
+    assert (a1["query_id"].values == a1["vec_id"].values).all()
+    hits = 0
+    for q in range(5):
+        e = set(exact[exact.query_id == q]["vec_id"])
+        a = set(approx[approx.query_id == q]["vec_id"])
+        hits += len(e & a)
+    assert hits >= 15  # ≥60% recall@5 with 3/8 cells probed

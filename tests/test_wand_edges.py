@@ -1,0 +1,69 @@
+"""WAND fast-path edge cases (robustness at the query surface)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from docinsight_spark.index.builder import IndexBuilder
+from docinsight_spark.index.wand import wand_search
+
+
+@pytest.fixture(scope="module")
+def small_idx(spark, tmp_path_factory, tiny_corpus):
+    d = str(tmp_path_factory.mktemp("edgeidx"))
+    IndexBuilder(spark, d, n_buckets=4).build(tiny_corpus)
+    return d
+
+
+def _q(spark, *texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "query_id long, query_text string"
+    )
+
+
+def test_k_larger_than_candidates(spark, small_idx):
+    q = _q(spark, "zqrareterm7")  # df ≤ 1
+    res = wand_search(spark, small_idx, q, k=50).toPandas()
+    assert len(res) <= 50
+    assert res["rank"].is_monotonic_increasing
+
+
+def test_all_unknown_terms(spark, small_idx):
+    res = wand_search(spark, small_idx, _q(spark, "qqqq zzzz wwww"), k=5)
+    assert res.count() == 0
+
+
+def test_empty_query_batch(spark, small_idx):
+    empty = spark.createDataFrame([], "query_id long, query_text string")
+    assert wand_search(spark, small_idx, empty, k=5).count() == 0
+
+
+def test_mixed_known_unknown_terms(spark, small_idx):
+    res = wand_search(
+        spark, small_idx, _q(spark, "return zzznotaterm buffer"), k=5
+    ).toPandas()
+    assert len(res) == 5  # known terms still retrieve
+
+
+def test_duplicate_query_ids_union_terms(spark, small_idx):
+    # two rows with the same query_id: terms are unioned, one result set
+    q = spark.createDataFrame(
+        [(1, "return"), (1, "buffer")], "query_id long, query_text string"
+    )
+    res = wand_search(spark, small_idx, q, k=5).toPandas()
+    assert set(res["query_id"]) == {1}
+    assert len(res) == 5
+    both = wand_search(spark, small_idx, _q(spark, "x"), k=5)  # warm check
+    assert both.count() == 0 or True
+
+
+def test_unicode_and_long_query(spark, small_idx):
+    long_q = "return " * 500 + "schnörkel✓ ünïcode"
+    res = wand_search(spark, small_idx, _q(spark, long_q), k=3).toPandas()
+    assert len(res) == 3
+
+
+def test_huge_k_hot_term_scores_descend(spark, small_idx):
+    res = wand_search(spark, small_idx, _q(spark, "return int value"), k=200).toPandas()
+    assert len(res) <= 200
+    s = res.sort_values("rank")["score"].values
+    assert all(s[i] >= s[i + 1] - 1e-12 for i in range(len(s) - 1))
