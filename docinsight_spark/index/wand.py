@@ -171,15 +171,40 @@ def _score_shard(
     return out
 
 
+class Searcher:
+    """Server mode: reuse one (optionally cached) segment scan + metadata
+    across many search calls — the repeated-query analog of the
+    reference's resident FAISS index (``index_manager.py:64-69`` loads
+    once, serves many).  With ``cache=True`` the segment dataset is
+    pinned in executor memory after the first query touches it."""
+
+    def __init__(self, spark: SparkSession, index_dir: str, cache: bool = True):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.meta = _load_meta(index_dir)
+        self.segments = spark.read.parquet(f"{index_dir}/segments")
+        if cache:
+            self.segments = self.segments.cache()
+
+    def search(self, queries: DataFrame, k: int = 10,
+               code_aware: bool | None = None) -> DataFrame:
+        return wand_search(
+            self.spark, self.index_dir, queries, k=k, code_aware=code_aware,
+            _segments=self.segments, _meta=self.meta,
+        )
+
+
 def wand_search(
     spark: SparkSession,
     index_dir: str,
     queries: DataFrame,
     k: int = 10,
     code_aware: bool | None = None,
+    _segments: DataFrame | None = None,
+    _meta: dict | None = None,
 ) -> DataFrame:
     """(query_id, rank, docID, score) — fast path over the segment index."""
-    meta = _load_meta(index_dir)
+    meta = _meta or _load_meta(index_dir)
     if code_aware is None:
         code_aware = bool(meta.get("code_aware", True))
     # Tokenize the (small) query batch driver-side — saves one Spark job
@@ -212,9 +237,10 @@ def wand_search(
     k1, b = float(meta["k1"]), float(meta["b"])
     n_shards = int(meta["n_buckets"]) * int(meta.get("n_subs", 1))
 
-    seg = spark.read.parquet(f"{index_dir}/segments").filter(
-        F.col("term").isin(all_terms)
+    base = _segments if _segments is not None else spark.read.parquet(
+        f"{index_dir}/segments"
     )
+    seg = base.filter(F.col("term").isin(all_terms))
     bc = spark.sparkContext.broadcast(qmap)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

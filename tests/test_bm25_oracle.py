@@ -107,3 +107,11 @@ def test_plagiarism_directional_ranking(spark, index):
             continue
         # mean plagiarized rank strictly better (lower) than mean non-plag
         assert plag_ranks.mean() < nonp_ranks.mean(), f"case {cid}"
+        # Disguise severity: L6 (line drops + noise) must rank worse than
+        # L1 (rename only).  A full L1→L6 monotone trend is NOT expected
+        # from a bag-of-words ranker — statement reordering (L4/L5)
+        # leaves the token multiset unchanged, so those levels tie with
+        # L1 by construction; only content-changing disguises move BM25.
+        lv = grp[grp["label"] == "plagiarized"].groupby("level")["rank"].mean()
+        if 1 in lv.index and 6 in lv.index:
+            assert lv.loc[1] < lv.loc[6], f"case {cid}: {lv.to_dict()}"
