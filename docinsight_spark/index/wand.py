@@ -240,7 +240,14 @@ def wand_search(
     base = _segments if _segments is not None else spark.read.parquet(
         f"{index_dir}/segments"
     )
-    seg = base.filter(F.col("term").isin(all_terms))
+    if len(all_terms) <= 1024:
+        # IN-list pushes to parquet row-group stats (segments are
+        # term-sorted within each shard file)
+        seg = base.filter(F.col("term").isin(all_terms))
+    else:
+        # huge term sets would bloat the plan; broadcast semi-join instead
+        terms_df = spark.createDataFrame([(t,) for t in all_terms], "term string")
+        seg = base.join(F.broadcast(terms_df), "term", "left_semi")
     bc = spark.sparkContext.broadcast(qmap)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
