@@ -113,19 +113,28 @@ def ngram_jaccard(
 ) -> DataFrame:
     """(id_a, id_b, jaccard) — exact n-gram Jaccard similarity.
 
-    With ``pairs`` given (e.g. LSH candidates) only those are scored;
-    otherwise all shingle-sharing pairs are considered (the shingle
-    equi-join bounds the blow-up to co-occurring docs)."""
+    With ``pairs`` given (e.g. LSH candidates) intersections are computed
+    **only for those pairs** (candidates ⋈ shingles ⋈ shingles — the
+    shingle self-join never materializes all co-occurring pairs, which
+    is what makes LSH worth anything at 10^12 docs).  Without ``pairs``
+    all shingle-sharing pairs are considered (small-corpus exact mode).
+    """
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
     if pairs is not None:
-        inter = inter.join(pairs, ["id_a", "id_b"], "left_semi")
+        inter = (
+            pairs.join(a, "id_a")
+            .join(b, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    else:
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     out = (
         inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na")), "id_a")
