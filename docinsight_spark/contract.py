@@ -899,3 +899,134 @@ def semantic_risk_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("high_ratio", 4).alias("high_ratio"),
         F.round("medium_ratio", 4).alias("medium_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# D4 / A11 / A6+A8 and rows-only engine-native entries
+# ---------------------------------------------------------------------------
+
+@_register(
+    "ordered_dedup_limit",
+    """SELECT user_id, event_type, event_id FROM (
+  SELECT user_id, event_type, event_id,
+         row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn
+  FROM events
+) WHERE rn = 1 ORDER BY event_id LIMIT 50""",
+)
+def ordered_dedup_limit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 order-preserving dedup + cap (wiki_loader.py:56-60)."""
+    from docinsight_spark.operators.normalize import ordered_dedup_limit
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "_k", F.concat_ws("|", F.col("user_id"), F.col("event_type"))
+    )
+    out = ordered_dedup_limit(ev, "_k", "event_id", limit=50)
+    return out.select("user_id", "event_type", "event_id")
+
+
+@_register(
+    "confidence_estimate",
+    """SELECT user_id::BIGINT AS doc_id,
+       round(least(count(*) / 20.0, 1.0), 4) AS analysis_confidence
+FROM events GROUP BY user_id""",
+)
+def confidence_estimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 volume-based confidence (scoring/aggregate.py:306-332)."""
+    from docinsight_spark.operators.scoring import confidence_estimate
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").cast("long").alias("doc_id")
+    )
+    return confidence_estimate(ev, cap_at=20)
+
+
+_PROFILE_FEATS = ["token_count", "unique_token_count", "avg_word_length"]
+
+
+def _profile_deviation_sql() -> str:
+    feats = ", ".join(
+        f"count(*)::DOUBLE AS token_count" if f == "token_count"
+        else f"count(DISTINCT term)::DOUBLE AS unique_token_count" if f == "unique_token_count"
+        else "avg(length(term)) AS avg_word_length"
+        for f in _PROFILE_FEATS
+    )
+    deltas = " + ".join(
+        f"least(abs(a.{f} - b.{f}) / greatest(abs(a.{f}), abs(b.{f}), 1e-9), 1.0)"
+        for f in _PROFILE_FEATS
+    )
+    return f"""WITH {_SQL_TOKS},
+prof AS (SELECT doc_id, {feats} FROM toks GROUP BY doc_id),
+small AS (SELECT * FROM prof WHERE doc_id < 10)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(({deltas}) / {len(_PROFILE_FEATS)}.0, 4) AS deviation,
+       round(1.0 - ({deltas}) / {len(_PROFILE_FEATS)}.0, 4) AS similarity
+FROM small a CROSS JOIN small b"""
+
+
+@_register("profile_deviation", _profile_deviation_sql())
+def profile_deviation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 stylometric profile comparison (stylometry/features.py:234-273)."""
+    from docinsight_spark.operators.stylometry import compare_profiles, stylo_features
+
+    prof = stylo_features(_docs(spark, sf_dir)).filter(F.col("doc_id") < 10)
+    prof = prof.select(
+        "doc_id",
+        *[F.col(c).cast("double").alias(c) for c in _PROFILE_FEATS],
+    )
+    out = compare_profiles(prof, prof, _PROFILE_FEATS)
+    return out.select(
+        "id_a", "id_b",
+        F.round("deviation", 4).alias("deviation"),
+        F.round("similarity", 4).alias("similarity"),
+    )
+
+
+# Rows-only entries (non-SQL-expressible engine paths — the driver
+# records a weaker rows-only check; full correctness lives in pytest):
+
+@_register("lsh_ann_topk")  # no oracle: seeded hyperplanes aren't SQL
+def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docinsight_spark.operators.similarity import lsh_bucket_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_bucket_topk(emb, q, k=5, n_planes=4, n_tables=4)
+
+
+@_register("ivf_ann_topk")  # no oracle: KMeans cells aren't SQL
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docinsight_spark.operators.similarity import ivf_index, ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assigned, centroids = ivf_index(emb, n_centroids=8)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(assigned, centroids, q, k=5, nprobe=3)
+
+
+@_register("wand_topk")  # no oracle: compressed-segment path; pytest
+def wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-max fast path end-to-end: build a segment index over the
+    documents table (as a corpus) in a temp dir, query it."""
+    import tempfile
+
+    from docinsight_spark.index.builder import IndexBuilder
+    from docinsight_spark.index.wand import wand_search
+
+    docs = _docs(spark, sf_dir).select(
+        F.lit("sf/docs").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id")).alias("path"),
+        F.lit("0000").alias("commit"),
+        F.lit("en").alias("lang"),
+        F.col("text").alias("content"),
+    )
+    idx = tempfile.mkdtemp(prefix="contract_wand_")
+    IndexBuilder(spark, idx, n_buckets=8, code_aware=False).build(docs)
+    queries = spark.createDataFrame(
+        [(0, "spark join table"), (1, "window batch stream"), (2, "customer query")],
+        "query_id long, query_text string",
+    )
+    return wand_search(spark, idx, queries, k=10)
