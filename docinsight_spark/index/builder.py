@@ -160,7 +160,16 @@ class IndexBuilder:
     ):
         """``n_buckets`` = on-disk partition dirs; ``n_subs`` = intra-bucket
         shards.  ``B × K`` shards are the unit of sort/query parallelism;
-        every shard is a self-contained document slice."""
+        every shard is a self-contained document slice.
+
+        Sizing at scale: pick ``B × K`` ≈ 2-4× total executor cores so
+        every core owns a few shards per wave, and so one shard's
+        postings (≈ total_postings / (B·K)) fit an executor's sort
+        buffer.  At 10^12 files / ~4·10^14 postings that means
+        B·K ≈ 10^5-10^6 shards (e.g. B = 4096 dirs × K = 64), giving
+        ~10^9 postings ≈ 4-8 GB compressed per shard task.  ``B`` alone
+        controls directory fan-out / partition pruning granularity;
+        local test defaults (32 × 2) mirror the same geometry."""
         self.spark = spark
         self.dir = index_dir.rstrip("/")
         self.n_buckets = n_buckets

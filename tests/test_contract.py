@@ -66,3 +66,13 @@ def test_all_queries_have_unique_names():
     qs = entrymod.queries()
     assert len(qs) == len(set(qs))
     assert set(entrymod.oracle_sql()).issubset(set(qs))
+
+
+ROWS_ONLY = sorted(set(entrymod.queries()) - set(entrymod.oracle_sql()))
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_entries_return_rows(spark, name):
+    """Entries without SQL oracles still get the driver's rows-only
+    check — assert they produce rows locally too."""
+    assert entrymod.queries()[name](spark, SF_DIR).count() > 0
