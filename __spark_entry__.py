@@ -7,7 +7,11 @@ from SURVEY.md §2, implemented in :mod:`docinsight_spark.contract`.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 
