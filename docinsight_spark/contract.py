@@ -119,8 +119,12 @@ BM25_QUERY_TERMS: list[tuple[int, str]] = [
 BM25_K = 10
 
 
-def _bm25_oracle_sql() -> str:
-    vals = ", ".join(f"({q}, '{t}')" for q, t in BM25_QUERY_TERMS)
+def _bm25_oracle_sql(
+    query_terms: list[tuple[int, str]] = BM25_QUERY_TERMS,
+    k: int = BM25_K,
+    doc_id_alias: str = "doc_id",
+) -> str:
+    vals = ", ".join(f"({q}, '{t}')" for q, t in query_terms)
     return f"""
 WITH {_SQL_POSTINGS},
 dstats AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
@@ -140,12 +144,12 @@ scored AS (
   CROSS JOIN c
   GROUP BY 1, 2
 )
-SELECT query_id, rank, doc_id, score FROM (
+SELECT query_id, rank, doc_id AS {doc_id_alias}, score FROM (
   SELECT query_id, doc_id, round(s, 4) AS score,
          row_number() OVER (PARTITION BY query_id
                             ORDER BY round(s, 4) DESC, doc_id) AS rank
   FROM scored
-) WHERE rank <= {BM25_K}
+) WHERE rank <= {k}
 """
 
 
@@ -318,7 +322,7 @@ spans AS (
   SELECT doc_id, span_id, risk_level,
          min(idx) AS start_index, max(idx) AS end_index,
          avg(confidence_score) AS avg_score,
-         sum(tokens) AS token_count,
+         sum(tokens)::BIGINT AS token_count,
          count(*) AS n_sentences,
          arg_min(semantic_norm, idx) AS first_sem_norm
   FROM sessioned GROUP BY doc_id, span_id, risk_level
@@ -981,19 +985,90 @@ def profile_deviation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Rows-only entries (non-SQL-expressible engine paths — the driver
-# records a weaker rows-only check; full correctness lives in pytest):
+# LSH ANN: the hyperplanes are seeded literals
+# (operators/similarity.py: hyperplanes()), so the same float constants
+# are embedded in BOTH the Spark plan and the generated DuckDB SQL —
+# the bucket assignment and therefore the candidate set match exactly.
 
-@_register("lsh_ann_topk")  # no oracle: seeded hyperplanes aren't SQL
+_LSH_PLANES, _LSH_TABLES, _LSH_DIM, _LSH_K = 4, 4, 64, 5
+
+
+def _lsh_ann_sql() -> str:
+    from docinsight_spark.operators.similarity import hyperplanes
+
+    rows = []
+    for t in range(_LSH_TABLES):
+        for i, p in enumerate(hyperplanes(_LSH_DIM, _LSH_PLANES, seed=42 + 1000 * t)):
+            lit = ", ".join(repr(float(x)) for x in p)
+            rows.append(f"({t}, {1 << i}, [{lit}]::DOUBLE[])")
+    planes = ", ".join(rows)
+    return f"""
+WITH planes(t, po, w) AS (VALUES {planes}),
+cb AS (
+  SELECT e.vec_id, p.t,
+         sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.w) >= 0
+                  THEN p.po ELSE 0 END)::INT AS bkt
+  FROM embeddings e CROSS JOIN planes p
+  GROUP BY e.vec_id, p.t
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+  FROM cb q JOIN cb c USING (t, bkt)
+  WHERE q.vec_id < {_LSH_K}
+),
+qx AS (
+  SELECT vec_id AS query_id, unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings WHERE vec_id < {_LSH_K}
+),
+cx AS (
+  SELECT vec_id, unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+),
+dots AS (
+  SELECT q.query_id, c.vec_id,
+         sum(q.v * c.v) AS dot,
+         sqrt(sum(q.v * q.v)) AS nq,
+         sqrt(sum(c.v * c.v)) AS nc
+  FROM qx q JOIN cx c USING (pos)
+  JOIN cand ON cand.query_id = q.query_id AND cand.vec_id = c.vec_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT query_id, vec_id, round(dot / (nq * nc), 4) AS cosine FROM dots
+)
+SELECT query_id, rank, vec_id, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= {_LSH_K}
+"""
+
+
+@_register("lsh_ann_topk", _lsh_ann_sql())
 def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from docinsight_spark.operators.similarity import lsh_bucket_topk
+    """Hyperplane-LSH approximate top-k; rank assigned after 4-dp
+    rounding so the DuckDB oracle replays it exactly."""
+    from docinsight_spark.operators.similarity import lsh_candidates
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    q = emb.filter(F.col("vec_id") < 5).select(
+    q = emb.filter(F.col("vec_id") < _LSH_K).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_bucket_topk(emb, q, k=5, n_planes=4, n_tables=4)
+    scored = lsh_candidates(
+        emb, q, n_planes=_LSH_PLANES, n_tables=_LSH_TABLES, dim=_LSH_DIM
+    ).select("query_id", "vec_id", F.round("cosine", 4).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _LSH_K)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
 
+
+# Rows-only entry (non-SQL-expressible engine path — the driver
+# records a weaker rows-only check; full correctness lives in pytest):
 
 @_register("ivf_ann_topk")  # no oracle: KMeans cells aren't SQL
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1007,10 +1082,29 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(assigned, centroids, q, k=5, nprobe=3)
 
 
-@_register("wand_topk")  # no oracle: compressed-segment path; pytest
+# WAND fast path: the contract index is built with the SQL-expressible
+# whitespace tokenizer (code_aware=False), so the exact BM25 SQL oracle
+# replays the whole compressed-segment path (build → encode → block-max
+# MaxScore → global merge).  Ranks are assigned after 4-dp rounding on
+# both sides; the fast path over-retrieves so rounded-tie boundaries
+# resolve identically.
+
+WAND_QUERIES: list[tuple[int, str]] = [
+    (0, "spark join table"),
+    (1, "window batch stream"),
+    (2, "customer query"),
+]
+_WAND_TERMS: list[tuple[int, str]] = [
+    (q, t) for q, text in WAND_QUERIES for t in text.split()
+]
+WAND_K, _WAND_OVERFETCH = 10, 30
+
+
+@_register("wand_topk", _bm25_oracle_sql(_WAND_TERMS, WAND_K, doc_id_alias="doc_id"))
 def wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Block-max fast path end-to-end: build a segment index over the
-    documents table (as a corpus) in a temp dir, query it."""
+    documents table (as a corpus) in a temp dir, query it, and map the
+    engine's hash docIDs back to the table's doc_id for the oracle."""
     import tempfile
 
     from docinsight_spark.index.builder import IndexBuilder
@@ -1024,9 +1118,19 @@ def wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").alias("content"),
     )
     idx = tempfile.mkdtemp(prefix="contract_wand_")
-    IndexBuilder(spark, idx, n_buckets=8, code_aware=False).build(docs)
-    queries = spark.createDataFrame(
-        [(0, "spark join table"), (1, "window batch stream"), (2, "customer query")],
-        "query_id long, query_text string",
+    b = IndexBuilder(spark, idx, n_buckets=8, code_aware=False)
+    b.build(docs)
+    queries = spark.createDataFrame(WAND_QUERIES, "query_id long, query_text string")
+    res = wand_search(spark, idx, queries, k=_WAND_OVERFETCH)
+    dim = b.docs_dim().select(
+        "docID", F.expr("CAST(substr(path, 5) AS LONG)").alias("doc_id")
     )
-    return wand_search(spark, idx, queries, k=10)
+    scored = res.join(dim, "docID").select(
+        "query_id", "doc_id", F.round("score", 4).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= WAND_K)
+        .select("query_id", "rank", "doc_id", "score")
+    )

@@ -92,6 +92,39 @@ def _bucket_key(vec: Column, planes: list[list[float]]) -> Column:
     return out.cast("int")
 
 
+def lsh_candidates(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_planes: int = 8,
+    n_tables: int = 2,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """(query_id, vec_id, cosine) — the deduped LSH candidate set with
+    exact cosine, no ranking.  Exposed separately so callers (and the
+    driver contract) can round before ranking."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    c = with_unit_vectors(corpus, vec_col).select(
+        F.col(corpus_id).alias("vec_id"), F.col("unit_vec").alias("cv")
+    )
+    q = with_unit_vectors(queries, vec_col).select(
+        F.col(query_id).alias("query_id"), F.col("unit_vec").alias("qv")
+    )
+    cand = None
+    for t in range(n_tables):
+        planes = hyperplanes(dim, n_planes, seed=42 + 1000 * t)
+        ct = c.withColumn("bkt", _bucket_key(F.col("cv"), planes))
+        qt = q.withColumn("bkt", _bucket_key(F.col("qv"), planes))
+        p = ct.join(F.broadcast(qt), "bkt").select("query_id", "vec_id", "cv", "qv")
+        cand = p if cand is None else cand.unionByName(p)
+    return cand.dropDuplicates(["query_id", "vec_id"]).select(
+        "query_id", "vec_id", _dot(F.col("cv"), F.col("qv")).alias("cosine")
+    )
+
+
 def lsh_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -109,24 +142,8 @@ def lsh_bucket_topk(
     At 10^12 vectors each table's bucket join touches ~N/2^n_planes of
     the corpus per query instead of N — the corpus side is hash-
     partitioned by bucket key, queries broadcast."""
-    if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
-    c = with_unit_vectors(corpus, vec_col).select(
-        F.col(corpus_id).alias("vec_id"), F.col("unit_vec").alias("cv")
-    )
-    q = with_unit_vectors(queries, vec_col).select(
-        F.col(query_id).alias("query_id"), F.col("unit_vec").alias("qv")
-    )
-    cand = None
-    for t in range(n_tables):
-        planes = hyperplanes(dim, n_planes, seed=42 + 1000 * t)
-        ct = c.withColumn("bkt", _bucket_key(F.col("cv"), planes))
-        qt = q.withColumn("bkt", _bucket_key(F.col("qv"), planes))
-        p = ct.join(F.broadcast(qt), "bkt").select("query_id", "vec_id", "cv", "qv")
-        cand = p if cand is None else cand.unionByName(p)
-    scored = (
-        cand.dropDuplicates(["query_id", "vec_id"])
-        .select("query_id", "vec_id", _dot(F.col("cv"), F.col("qv")).alias("cosine"))
+    scored = lsh_candidates(
+        corpus, queries, n_planes, n_tables, corpus_id, query_id, vec_col, dim
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
@@ -144,8 +161,15 @@ def embedding_near_duplicates(
     n_planes: int = 6,
     n_tables: int = 3,
     dim: int | None = None,
+    max_bucket: int = 1000,
 ) -> DataFrame:
-    """(id_a, id_b, cosine) self near-dup pairs ≥ threshold, LSH-bucketed."""
+    """(id_a, id_b, cosine) self near-dup pairs ≥ threshold, LSH-bucketed.
+
+    ``max_bucket`` caps the self-join fan-out per LSH bucket (the same
+    skew guard as :func:`docinsight_spark.operators.dedup.lsh_candidate_pairs`):
+    a degenerate bucket — zero vectors, boilerplate embeddings — would
+    otherwise go O(n²).  Pairs inside an over-full bucket are dropped in
+    that table; the other tables can still recall them."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     u = with_unit_vectors(df, vec_col).select(
@@ -155,6 +179,10 @@ def embedding_near_duplicates(
     for t in range(n_tables):
         planes = hyperplanes(dim, n_planes, seed=77 + 1000 * t)
         b = u.withColumn("bkt", _bucket_key(F.col("v"), planes))
+        sz = Window.partitionBy("bkt")
+        b = b.withColumn("_n", F.count(F.lit(1)).over(sz)).filter(
+            F.col("_n") <= max_bucket
+        )
         a_side = b.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bkt")
         b_side = b.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bkt")
         p = (
