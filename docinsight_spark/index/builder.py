@@ -24,10 +24,17 @@ and the driver only moves manifests:
 3. **finalize** — doc/term statistics (document-frequency aggregation
    is two-stage salted against hot-term skew), then a streaming
    ``mapInPandas`` encoder turns the sorted postings into delta-gap +
-   varint segments with per-block skip data and block-max BM25 scores.
-   The encoder consumes the merge output's file order directly — no
-   extra shuffle — with df joined in (broadcast when small) and
-   document length read bucket-locally inside the kernel.
+   varint segments with per-block skip data and block maxima.
+   The block maxima are **idf-independent** — the encoder stores
+   ``max(tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)))`` per block and the
+   query path multiplies by idf (from ``term_stats`` pruned to the
+   query's terms).  Document frequency therefore never joins the
+   posting stream at encode time: at corpus scale the vocabulary
+   (billions of distinct identifiers) would not fit a broadcast, and a
+   sort-merge fallback would destroy the (shard, term, docID) file
+   order the streaming encoder depends on.  The encoder consumes the
+   merge output's file order directly — no shuffle, no join; document
+   length is read bucket-locally inside the kernel.
 
 **Why document-partitioned (not term-partitioned):** each shard holds
 the *complete* posting lists for its documents, so top-k scoring runs
@@ -68,7 +75,7 @@ from docinsight_spark.operators.postings import (
 )
 
 SEGMENT_SCHEMA = (
-    "doc_bucket int, doc_sub int, term string, df long, n long, "
+    "doc_bucket int, doc_sub int, term string, n long, "
     "first_doc array<long>, last_doc array<long>, bn array<int>, "
     "offsets array<long>, doc_bytes array<int>, max_score array<float>, "
     "payload binary"
@@ -336,8 +343,13 @@ class IndexBuilder:
         )
 
         # Global stats: salted df aggregation (hot-term skew defused).
+        # Sorted within partitions by term (no extra shuffle — the agg
+        # output is already hash-partitioned on term) so query-time df
+        # lookups prune parquet row groups via min/max stats.
         ts = term_stats(postings.select("term", "docID", "tf"))
-        ts.write.mode("overwrite").parquet(f"{self.dir}/term_stats")
+        ts.sortWithinPartitions("term").write.mode("overwrite").parquet(
+            f"{self.dir}/term_stats"
+        )
         ds = self.spark.read.parquet(f"{self.dir}/doc_stats")
         row = ds.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
         n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
@@ -350,17 +362,16 @@ class IndexBuilder:
             "k1": self.k1,
             "b": self.b,
             "code_aware": self.code_aware,
-            "version": 2,
+            "version": 3,
         }
         _atomic_write_json(f"{self.dir}/_meta.json", meta)
 
         # Segment encode straight off the merge output: the scan preserves
-        # within-file (shard, term, docID) order, the df join broadcasts
-        # (or AQE picks SMJ at vocabulary scale), and dl is read bucket-
-        # locally in the kernel — no additional shuffle of the postings.
-        enc_input = postings.join(
-            F.broadcast(self.spark.read.parquet(f"{self.dir}/term_stats")), "term"
-        ).select("doc_bucket", "doc_sub", "term", "df", "docID", "tf")
+        # within-file (shard, term, docID) order; dl is read bucket-
+        # locally in the kernel.  No join and no shuffle touch the
+        # posting stream (block maxima are idf-independent, so the
+        # full-vocabulary term_stats never broadcasts here).
+        enc_input = self._encode_input(postings)
         index_dir, k1, b, block_size = self.dir, self.k1, self.b, self.block_size
 
         def encode_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -406,7 +417,6 @@ class IndexBuilder:
                 buckets = pdf["doc_bucket"].to_numpy()
                 subs = pdf["doc_sub"].to_numpy()
                 terms = pdf["term"].to_numpy()
-                dfs = pdf["df"].to_numpy()
                 docs = pdf["docID"].to_numpy()
                 tfs = pdf["tf"].to_numpy().astype(np.float64)
                 for s, e in zip(bounds[:-1], bounds[1:]):
@@ -416,8 +426,9 @@ class IndexBuilder:
                     d = docs[s:e]
                     t = tfs[s:e]
                     dl = dl_for(bkt, d).astype(np.float64)
-                    idf = float(np.log((n_docs - dfs[s] + 0.5) / (dfs[s] + 0.5) + 1.0))
-                    score = idf * t * (k1 + 1.0) / (t + k1 * (1 - b + b * dl / avgdl))
+                    # idf-independent tf-normalization: the block max is
+                    # multiplied by idf at query time (wand.py)
+                    score = t * (k1 + 1.0) / (t + k1 * (1 - b + b * dl / avgdl))
                     payload, m = encode_postings(
                         d, t.astype(np.int64), score.astype(np.float32), block_size
                     )
@@ -426,7 +437,6 @@ class IndexBuilder:
                             "doc_bucket": bkt,
                             "doc_sub": int(subs[s]),
                             "term": str(terms[s]),
-                            "df": int(dfs[s]),
                             "n": int(e - s),
                             "first_doc": m.first_doc.tolist(),
                             "last_doc": m.last_doc.tolist(),
@@ -446,7 +456,7 @@ class IndexBuilder:
             if carry is not None:
                 tail = encode_groups(
                     pd.DataFrame(
-                        columns=["doc_bucket", "doc_sub", "term", "df", "docID", "tf"]
+                        columns=["doc_bucket", "doc_sub", "term", "docID", "tf"]
                     ),
                     hold_last=False,
                 )
@@ -474,6 +484,13 @@ class IndexBuilder:
             n_docs=n_docs,
             avgdl=avgdl,
         )
+
+    def _encode_input(self, postings: DataFrame) -> DataFrame:
+        """The segment encoder's input: a pure projection of the merged
+        postings — no join, no exchange.  Factored out so the plan test
+        can pin that no BroadcastExchange (e.g. of the full vocabulary)
+        ever enters the encode stage."""
+        return postings.select("doc_bucket", "doc_sub", "term", "docID", "tf")
 
     # -- convenience --------------------------------------------------------
 

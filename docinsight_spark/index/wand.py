@@ -110,7 +110,14 @@ def _score_shard(
     term_rows: dict[str, list[_SegRow]] = {}
     for r in rows:
         term_rows.setdefault(r.term, []).append(r)
-    term_upper = {t: max(r.upper for r in rs) for t, rs in term_rows.items()}
+    # Upper bounds are inflated by a hair: stored block maxima are
+    # float32 (can round below the true float64 max) and the idf
+    # multiplication order differs from the exact scorer's — a bound
+    # one ulp under a real score would wrongly prune it.
+    term_upper = {
+        t: max(r.upper for r in rs) * (1.0 + 1e-6) + 1e-12
+        for t, rs in term_rows.items()
+    }
 
     def scorer(docs: np.ndarray, tfs: np.ndarray, df: float) -> np.ndarray:
         dl = dl_of(docs)
@@ -183,14 +190,16 @@ class Searcher:
         self.index_dir = index_dir
         self.meta = _load_meta(index_dir)
         self.segments = spark.read.parquet(f"{index_dir}/segments")
+        self.term_stats = spark.read.parquet(f"{index_dir}/term_stats")
         if cache:
             self.segments = self.segments.cache()
+            self.term_stats = self.term_stats.cache()
 
     def search(self, queries: DataFrame, k: int = 10,
                code_aware: bool | None = None) -> DataFrame:
         return wand_search(
             self.spark, self.index_dir, queries, k=k, code_aware=code_aware,
-            _segments=self.segments, _meta=self.meta,
+            _segments=self.segments, _meta=self.meta, _tstats=self.term_stats,
         )
 
 
@@ -202,9 +211,15 @@ def wand_search(
     code_aware: bool | None = None,
     _segments: DataFrame | None = None,
     _meta: dict | None = None,
+    _tstats: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, rank, docID, score) — fast path over the segment index."""
     meta = _meta or _load_meta(index_dir)
+    if int(meta.get("version", 0)) < 3:
+        raise ValueError(
+            "index was built by an older engine version (segments carried "
+            "idf-baked block maxima); rebuild the index"
+        )
     if code_aware is None:
         code_aware = bool(meta.get("code_aware", True))
     # Tokenize the (small) query batch driver-side — saves one Spark job
@@ -240,29 +255,43 @@ def wand_search(
     base = _segments if _segments is not None else spark.read.parquet(
         f"{index_dir}/segments"
     )
+    tstats = _tstats if _tstats is not None else spark.read.parquet(
+        f"{index_dir}/term_stats"
+    )
     if len(all_terms) <= 1024:
         # IN-list pushes to parquet row-group stats (segments are
         # term-sorted within each shard file)
         seg = base.filter(F.col("term").isin(all_terms))
+        tfil = tstats.filter(F.col("term").isin(all_terms))
     else:
         # huge term sets would bloat the plan; broadcast semi-join instead
         terms_df = spark.createDataFrame([(t,) for t in all_terms], "term string")
         seg = base.join(F.broadcast(terms_df), "term", "left_semi")
-    bc = spark.sparkContext.broadcast(qmap)
+        tfil = tstats.join(F.broadcast(terms_df), "term", "left_semi")
+    # Per-term document frequency for the query's terms only — segments
+    # store idf-independent block maxima, so idf = f(df) is applied
+    # here.  The scan is pruned to the query terms (term_stats files are
+    # term-sorted → row-group skipping); only |query terms| rows move.
+    df_map = {r["term"]: float(r["df"]) for r in tfil.collect()}
+    bc = spark.sparkContext.broadcast((qmap, df_map))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qmap_bc, df_bc = bc.value
         by_shard: dict[tuple[int, int], list[_SegRow]] = {}
         for pdf in batches:
             bks = pdf["doc_bucket"].to_numpy()
             subs = pdf["doc_sub"].to_numpy()
             terms = pdf["term"].to_numpy()
-            dfs = pdf["df"].to_numpy()
             fdoc, ldoc = pdf["first_doc"].values, pdf["last_doc"].values
             bns, offs = pdf["bn"].values, pdf["offsets"].values
             dbs, mxs = pdf["doc_bytes"].values, pdf["max_score"].values
             pays = pdf["payload"].values
             for i in range(len(pdf)):
                 mx = np.asarray(mxs[i], np.float32)
+                # a term present in segments must be in term_stats — a
+                # KeyError here means index corruption, fail loudly
+                df_i = df_bc[str(terms[i])]
+                idf_i = float(np.log((n_docs - df_i + 0.5) / (df_i + 0.5) + 1.0))
                 meta_i = BlockMeta(
                     first_doc=np.asarray(fdoc[i], np.int64),
                     last_doc=np.asarray(ldoc[i], np.int64),
@@ -272,8 +301,8 @@ def wand_search(
                     max_score=mx,
                 )
                 row = _SegRow(
-                    terms[i], dfs[i], meta_i, pays[i],
-                    float(mx.max()) if len(mx) else 0.0,
+                    terms[i], df_i, meta_i, pays[i],
+                    idf_i * float(mx.max()) if len(mx) else 0.0,
                 )
                 by_shard.setdefault((int(bks[i]), int(subs[i])), []).append(row)
 
@@ -301,7 +330,7 @@ def wand_search(
                 return ds_dl[np.clip(pos, 0, max(len(ds_docs) - 1, 0))]
 
             out.extend(
-                _score_shard(rows, bc.value, n_docs, avgdl, k1, b, k, dl_of)
+                _score_shard(rows, qmap_bc, n_docs, avgdl, k1, b, k, dl_of)
             )
         yield pd.DataFrame(out, columns=["query_id", "docID", "score"]).astype(
             {"query_id": "int64", "docID": "int64", "score": "float64"}

@@ -49,10 +49,25 @@ def test_segment_scan_prunes_terms_and_columns(spark, small_index):
     # min/max stats — segments are written sorted by term)
     assert_pushed_filter(seg, "term")
     # a projection that drops the payload must not read it
-    slim = seg.select("term", "df")
+    slim = seg.select("term", "n")
     p = plan_text(slim)
     read_lines = [l for l in p.splitlines() if "ReadSchema" in l]
     assert read_lines and all("payload" not in l for l in read_lines), p
+
+
+def test_finalize_encode_input_has_no_broadcast(spark, small_index):
+    """The segment encoder's input must be a pure projection of the
+    merged postings: no join, no BroadcastExchange.  A full-vocabulary
+    term_stats broadcast here (how an idf-baked block-max would get its
+    df) is an executor OOM at 10^12-file vocabulary scale."""
+    b = IndexBuilder(spark, small_index, n_buckets=4)
+    merged = [m for m in b.manifests() if m["unit"] == "merged-final"][0]["source"]
+    postings = spark.read.parquet(f"{merged}/postings")
+    enc = b._encode_input(postings)
+    p = plan_text(enc)
+    assert "BroadcastExchange" not in p, p
+    assert "Join" not in p, p
+    assert "term_stats" not in p, p
 
 
 def test_doc_bucket_partition_pruning(spark, small_index):
