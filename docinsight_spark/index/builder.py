@@ -164,6 +164,7 @@ class IndexBuilder:
         k1: float = BM25_K1,
         b: float = BM25_B,
         code_aware: bool = True,
+        broadcast_seen_max: int = 2_000_000,
     ):
         """``n_buckets`` = on-disk partition dirs; ``n_subs`` = intra-bucket
         shards.  ``B × K`` shards are the unit of sort/query parallelism;
@@ -184,6 +185,10 @@ class IndexBuilder:
         self.block_size = block_size
         self.k1, self.b = k1, b
         self.code_aware = code_aware
+        # above this many already-indexed docIDs the cross-run dedup gate
+        # switches from a broadcast anti-join to a Bloom pre-gate + plain
+        # anti-join (the seen side is never broadcast whole)
+        self.broadcast_seen_max = broadcast_seen_max
         os.makedirs(f"{self.dir}/manifests", exist_ok=True)
 
     @property
@@ -251,15 +256,13 @@ class IndexBuilder:
         docs = with_doc_id(corpus)
         if dedup_within_run:
             docs = docs.dropDuplicates(["docID"])
-        prior = [m["run_id"] for m in self.manifests() if m["unit"].startswith("run-")]
-        if prior:
+        priors = [m for m in self.manifests() if m["unit"].startswith("run-")]
+        if priors:
             seen = self._read_union(
-                [f"{self.dir}/runs/{r}/docs" for r in prior]
+                [f"{self.dir}/runs/{m['run_id']}/docs" for m in priors]
             ).select("docID")
-            # broadcast the (narrow) indexed-key side: the corpus side
-            # keeps its partitioning — no shuffle of document content.
-            # At 10^12 scale this becomes a bloom-filter pre-gate + SMJ.
-            docs = docs.join(F.broadcast(seen), "docID", "left_anti")
+            seen_total = sum(int(m.get("docs", 0)) for m in priors)
+            docs = self._gate_new_docs(docs, seen, seen_total)
 
         base = f"{self.dir}/runs/{run_id}"
         postings = self._sharded(build_postings(docs, code_aware=self.code_aware))
@@ -270,6 +273,36 @@ class IndexBuilder:
         n_postings, _ = _footer_rows(f"{base}/postings")
         n_docs, _ = _footer_rows(f"{base}/docs")
         self._commit(unit, run_id=run_id, postings=n_postings, docs=n_docs)
+
+    def _gate_new_docs(
+        self, docs: DataFrame, seen: DataFrame, seen_total: int
+    ) -> DataFrame:
+        """Cross-run dedup gate: keep only docs whose docID is not in
+        ``seen`` (the union of all prior runs' keys).
+
+        Small history (≤ ``broadcast_seen_max`` keys, known from run
+        manifests — no counting job): broadcast the narrow key side; the
+        corpus keeps its partitioning, zero shuffle of content.
+
+        Large history: a distributed Bloom filter pre-gate.  Bloom-
+        negative rows are definitely new and skip the join entirely;
+        only bloom-positive rows (true dups + ~1 % false positives) pay
+        the precise anti-join, so the shuffled content volume tracks the
+        actual overlap, not the run size — and the seen side is never
+        broadcast whole.  Past the filter's bit cap the fp rate degrades
+        gracefully (more rows take the precise path) rather than OOMing.
+        """
+        if seen_total <= self.broadcast_seen_max:
+            return docs.join(F.broadcast(seen), "docID", "left_anti")
+        from docinsight_spark.index.bloom import build_bloom, might_contain
+
+        bits, m_bits, k = build_bloom(seen, "docID", seen_total)
+        probe = might_contain(self.spark.sparkContext, bits, m_bits, k)
+        definite_new = docs.filter(~probe(F.col("docID")))
+        survivors = docs.filter(probe(F.col("docID"))).join(
+            seen, "docID", "left_anti"
+        )
+        return definite_new.unionByName(survivors)
 
     # -- stage 2: hierarchical merge waves ---------------------------------
 

@@ -126,6 +126,52 @@ def test_incremental_add_run_dedups_prior_docs(spark, tmp_path, tiny_corpus):
     assert b.meta()["n_docs"] == 250
 
 
+def test_incremental_bloom_gate_matches_broadcast_gate(spark, tmp_path, tiny_corpus):
+    """Force the Bloom pre-gate path (broadcast_seen_max=0): same dedup
+    result as the broadcast path, and the seen side is never broadcast
+    whole (no broadcast hint anywhere in the gated plan)."""
+    from docinsight_spark.plans.checks import plan_text
+
+    d = str(tmp_path / "idx_bloom")
+    b = IndexBuilder(spark, d, n_buckets=4, broadcast_seen_max=0)
+    b.add_run(tiny_corpus, "base")
+    extra = make_corpus(spark, 250, seed=42)  # 200 overlap + 50 new
+    seen = spark.read.parquet(f"{d}/runs/base/docs").select("docID")
+    gated = b._gate_new_docs(with_doc_id(extra), seen, seen_total=200)
+    assert "ResolvedHint" not in plan_text(gated, "extended")
+    b.add_run(extra, "delta")
+    m = {x["unit"]: x for x in b.manifests()}
+    assert m["run-delta"]["docs"] == 50
+    b.merge_all(fanin=2)
+    b.finalize()
+    assert b.meta()["n_docs"] == 250
+
+
+def test_bloom_filter_has_no_false_negatives():
+    import numpy as np
+
+    from docinsight_spark.index.bloom import _positions, bloom_params
+
+    rng = np.random.RandomState(7)
+    keys = rng.randint(-(2**62), 2**62, size=5000, dtype=np.int64)
+    m_bits, k = bloom_params(len(keys), fpp=0.01)
+    bits = np.zeros((m_bits + 7) // 8, dtype=np.uint8)
+    pos = _positions(keys, m_bits, k).ravel()
+    np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+
+    def contains(vals):
+        p = _positions(vals, m_bits, k)
+        hit = np.ones(len(vals), dtype=bool)
+        for i in range(k):
+            hit &= (bits[p[i] >> 3] >> (p[i] & 7).astype(np.uint8)) & 1 == 1
+        return hit
+
+    assert contains(keys).all()  # no false negatives, ever
+    fresh = rng.randint(-(2**62), 2**62, size=20000, dtype=np.int64)
+    fresh = fresh[~np.isin(fresh, keys)]
+    assert contains(fresh).mean() < 0.03  # fp rate near the 1% design point
+
+
 def test_segment_files_partitioned_by_bucket(built_index):
     parts = glob.glob(f"{built_index.dir}/segments/doc_bucket=*")
     assert len(parts) == 8
