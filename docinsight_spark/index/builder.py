@@ -136,6 +136,41 @@ def _segment_lineage(path: str) -> dict:
     }
 
 
+def strict_dl_enabled() -> bool:
+    """Debug flag: verify every docID resolves to an exact doc_stats row.
+    Read driver-side and captured into kernel closures (executor env is
+    not reliably inherited once worker daemons exist)."""
+    return os.environ.get("DOCINSIGHT_STRICT_DL", "") == "1"
+
+
+def lookup_dl(
+    sorted_docs: np.ndarray,
+    dls: np.ndarray,
+    doc_ids: np.ndarray,
+    strict: bool = False,
+) -> np.ndarray:
+    """Binary-search doc lengths for ``doc_ids`` in a docID-sorted map.
+
+    Default mode clamps out-of-range probes (a docID absent from
+    doc_stats silently reuses a neighbor's length — cheap, but hides
+    index corruption as subtly wrong BM25 scores).  ``strict`` asserts
+    exact membership and fails loudly instead."""
+    if len(sorted_docs) == 0:
+        if strict and len(doc_ids):
+            raise ValueError("doc_stats bucket is empty but postings reference docs")
+        return np.ones(len(doc_ids), np.int64)
+    pos = np.clip(np.searchsorted(sorted_docs, doc_ids), 0, len(sorted_docs) - 1)
+    if strict:
+        bad = sorted_docs[pos] != doc_ids
+        if bad.any():
+            missing = np.asarray(doc_ids)[bad][:5].tolist()
+            raise ValueError(
+                f"postings/doc_stats inconsistency: {int(bad.sum())} docIDs "
+                f"missing from doc_stats (first: {missing})"
+            )
+    return dls[pos]
+
+
 def read_doc_stats_bucket(index_dir: str, bucket: int) -> dict | None:
     """Bucket-local doc-length map, read inside kernels via pyarrow.
 
@@ -308,16 +343,28 @@ class IndexBuilder:
 
     def merge_all(self, fanin: int = 8) -> str:
         """Repartition-and-sort merge waves until one shard-sorted layout
-        remains; resumable per wave step."""
-        if self._done("merged-final"):
-            return [m for m in self.manifests() if m["unit"] == "merged-final"][0][
-                "source"
-            ]
+        remains; resumable per wave step.
+
+        The terminal manifest records the run set it covered: a repeated
+        ``merge_all`` with the same runs short-circuits, while calling it
+        after new runs were added fails loudly (instead of silently
+        serving an index that excludes them) — clear the merge/finalize
+        manifests via :func:`docinsight_spark.streaming.incremental.refresh`
+        to rebuild over the new run set."""
         runs = sorted(
             m["run_id"] for m in self.manifests() if m["unit"].startswith("run-")
         )
         if not runs:
             raise ValueError("no runs to merge")
+        if self._done("merged-final"):
+            final = [m for m in self.manifests() if m["unit"] == "merged-final"][0]
+            covered = sorted(final.get("runs", runs))
+            if covered != runs:
+                raise ValueError(
+                    f"index was finalized over runs {covered} but runs {runs} now "
+                    "exist; call streaming.incremental.refresh() to re-merge"
+                )
+            return final["source"]
         sources = [f"{self.dir}/runs/{r}" for r in runs]
         wave = 0
         while len(sources) > 1 or sources[0].startswith(f"{self.dir}/runs/"):
@@ -331,7 +378,7 @@ class IndexBuilder:
                 nxt.append(out)
             sources = nxt
             wave += 1
-        self._commit("merged-final", source=sources[0], waves=wave)
+        self._commit("merged-final", source=sources[0], waves=wave, runs=runs)
         return sources[0]
 
     def _merge_group(self, grp: list[str], out: str, unit: str) -> None:
@@ -406,6 +453,7 @@ class IndexBuilder:
         # full-vocabulary term_stats never broadcasts here).
         enc_input = self._encode_input(postings)
         index_dir, k1, b, block_size = self.dir, self.k1, self.b, self.block_size
+        strict = strict_dl_enabled()
 
         def encode_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             carry: pd.DataFrame | None = None
@@ -421,9 +469,7 @@ class IndexBuilder:
                     o = np.argsort(m["docID"], kind="stable")
                     m = {"docID": m["docID"][o], "dl": m["dl"][o]}
                     dl_cache[bucket] = m
-                pos = np.searchsorted(m["docID"], doc_ids)
-                pos = np.clip(pos, 0, max(len(m["docID"]) - 1, 0))
-                return m["dl"][pos] if len(m["docID"]) else np.ones(len(doc_ids), np.int64)
+                return lookup_dl(m["docID"], m["dl"], doc_ids, strict)
 
             def encode_groups(pdf: pd.DataFrame, hold_last: bool):
                 nonlocal carry
@@ -583,6 +629,11 @@ def purge_run(index_dir: str, run_id: str) -> None:
     shutil.rmtree(os.path.join(index_dir, "runs", run_id), ignore_errors=True)
     mdir = os.path.join(index_dir, "manifests")
     for fn in os.listdir(mdir) if os.path.isdir(mdir) else []:
-        if fn.startswith((f"run-{run_id}", "merge-", "merged-final", "finalize")):
+        # exact manifest name for the purged run — a prefix match would
+        # also delete manifests of runs whose id merely extends run_id
+        # (purging "stream0001" must not touch "stream00010")
+        if fn == f"run-{run_id}.json" or fn.startswith(
+            ("merge-", "merged-final", "finalize")
+        ):
             os.remove(os.path.join(mdir, fn))
     shutil.rmtree(os.path.join(index_dir, "merged"), ignore_errors=True)

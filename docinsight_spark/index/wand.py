@@ -49,7 +49,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from docinsight_spark.index.builder import read_doc_stats_bucket
+from docinsight_spark.index.builder import (
+    lookup_dl,
+    read_doc_stats_bucket,
+    strict_dl_enabled,
+)
 from docinsight_spark.index.codec import BlockMeta, decode_block
 
 
@@ -274,6 +278,7 @@ def wand_search(
     # term-sorted → row-group skipping); only |query terms| rows move.
     df_map = {r["term"]: float(r["df"]) for r in tfil.collect()}
     bc = spark.sparkContext.broadcast((qmap, df_map))
+    strict = strict_dl_enabled()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         qmap_bc, df_bc = bc.value
@@ -326,8 +331,7 @@ def wand_search(
             ds_docs, ds_dl = ds
 
             def dl_of(docs: np.ndarray) -> np.ndarray:
-                pos = np.searchsorted(ds_docs, docs)
-                return ds_dl[np.clip(pos, 0, max(len(ds_docs) - 1, 0))]
+                return lookup_dl(ds_docs, ds_dl, docs, strict)
 
             out.extend(
                 _score_shard(rows, qmap_bc, n_docs, avgdl, k1, b, k, dl_of)

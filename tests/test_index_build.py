@@ -172,6 +172,63 @@ def test_bloom_filter_has_no_false_negatives():
     assert contains(fresh).mean() < 0.03  # fp rate near the 1% design point
 
 
+def test_merge_all_refuses_stale_run_set(spark, tmp_path, tiny_corpus):
+    """After a finalized merge, adding a run and re-merging must fail
+    loudly (not silently serve an index missing the new run); refresh()
+    is the sanctioned path and must succeed."""
+    from docinsight_spark.streaming.incremental import refresh
+
+    d = str(tmp_path / "idx_stale")
+    b = IndexBuilder(spark, d, n_buckets=4)
+    b.add_run(tiny_corpus, "base")
+    b.merge_all(fanin=2)
+    b.merge_all(fanin=2)  # same run set: short-circuit, no error
+    b.add_run(make_corpus(spark, 250, seed=42), "delta")
+    with pytest.raises(ValueError, match="refresh"):
+        b.merge_all(fanin=2)
+    refresh(b, fanin=2)
+    assert b.meta()["n_docs"] == 250
+
+
+def test_purge_run_exact_manifest_match(spark, tmp_path, tiny_corpus):
+    """Purging run 'r1' must not delete manifests of run 'r10'."""
+    from docinsight_spark.index.builder import purge_run
+
+    d = str(tmp_path / "idx_purge")
+    b = IndexBuilder(spark, d, n_buckets=4)
+    s1, s2 = tiny_corpus.randomSplit([1.0, 1.0], seed=1)
+    b.add_run(s1, "r1")
+    b.add_run(s2, "r10")
+    purge_run(d, "r1")
+    units = {m["unit"] for m in b.manifests()}
+    assert "run-r10" in units and "run-r1" not in units
+
+
+def test_strict_dl_flag_fails_on_corrupt_doc_stats(spark, tmp_path, tiny_corpus,
+                                                   monkeypatch):
+    """With DOCINSIGHT_STRICT_DL=1 a doc_stats/postings inconsistency
+    surfaces as an error instead of silently mis-scoring."""
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "idx_corrupt")
+    IndexBuilder(spark, d, n_buckets=2).build(tiny_corpus)
+    # corrupt: drop half the rows from one doc_stats bucket
+    for f in glob.glob(f"{d}/doc_stats/doc_bucket=*/*.parquet"):
+        t = pq.read_table(f)
+        if t.num_rows > 1:
+            pq.write_table(t.slice(0, t.num_rows // 2), f)
+            break
+    q = make_queries(spark, corpus_n=200, n_queries=10)
+    monkeypatch.setenv("DOCINSIGHT_STRICT_DL", "1")
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises((Py4JJavaError, Exception), match="doc_stats"):
+        wand_search(spark, d, q, k=5).count()
+    # default (non-strict) mode still answers
+    monkeypatch.delenv("DOCINSIGHT_STRICT_DL")
+    assert wand_search(spark, d, q, k=5).count() >= 0
+
+
 def test_segment_files_partitioned_by_bucket(built_index):
     parts = glob.glob(f"{built_index.dir}/segments/doc_bucket=*")
     assert len(parts) == 8
