@@ -55,8 +55,6 @@ extra Spark jobs) — the engine's analog of the reference's
 
 from __future__ import annotations
 
-import glob
-import json
 import os
 import time
 from typing import Iterator
@@ -67,6 +65,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from docinsight_spark import BM25_B, BM25_K1
+from docinsight_spark.index import fsio
 from docinsight_spark.index.codec import BLOCK_SIZE, encode_postings
 from docinsight_spark.operators.postings import (
     build_postings,
@@ -83,23 +82,22 @@ SEGMENT_SCHEMA = (
 
 
 def _atomic_write_json(path: str, payload: dict) -> None:
-    tmp = f"{path}.tmp.{os.getpid()}"
-    with open(tmp, "w") as f:
-        json.dump(payload, f, indent=1, default=str)
-    os.replace(tmp, path)
+    fsio.write_json_atomic(path, payload)
 
 
 def _footer_rows(path: str, per_dir_key: str | None = None) -> tuple[int, dict]:
     """Dataset row count (and per-partition-dir counts) from parquet
-    footers — no Spark job."""
+    footers — no Spark job.  DFS-safe: footers are read through the
+    path's filesystem (local, file://, s3://, hdfs://)."""
     import pyarrow.parquet as pq
 
+    fs, _ = fsio.resolve(path)
     total, per = 0, {}
-    for f in glob.glob(f"{path}/**/*.parquet", recursive=True):
-        n = pq.read_metadata(f).num_rows
+    for f in fsio.glob_parquet(path):
+        n = pq.read_metadata(f, filesystem=fs).num_rows
         total += n
         if per_dir_key:
-            part = [p for p in f.split(os.sep) if p.startswith(f"{per_dir_key}=")]
+            part = [p for p in f.split("/") if p.startswith(f"{per_dir_key}=")]
             if part:
                 key = part[0].split("=", 1)[1]
                 per[key] = per.get(key, 0) + n
@@ -111,11 +109,12 @@ def _segment_lineage(path: str) -> dict:
     the compressed size of the ``payload`` column — no Spark job."""
     import pyarrow.parquet as pq
 
+    fs, _ = fsio.resolve(path)
     per: dict[str, dict] = {}
     total_rows, total_bytes = 0, 0
-    for f in glob.glob(f"{path}/**/*.parquet", recursive=True):
-        md = pq.read_metadata(f)
-        part = [p for p in f.split(os.sep) if p.startswith("doc_bucket=")]
+    for f in fsio.glob_parquet(path):
+        md = pq.read_metadata(f, filesystem=fs)
+        part = [p for p in f.split("/") if p.startswith("doc_bucket=")]
         key = part[0].split("=", 1)[1] if part else "?"
         pay = 0
         for rg in range(md.num_row_groups):
@@ -179,9 +178,10 @@ def read_doc_stats_bucket(index_dir: str, bucket: int) -> dict | None:
     import pyarrow.parquet as pq
 
     path = f"{index_dir}/doc_stats/doc_bucket={bucket}"
-    if not os.path.exists(path):
+    if not fsio.exists(path):
         return None
-    t = pq.read_table(path, columns=["docID", "dl"])
+    fs, p = fsio.resolve(path)
+    t = pq.read_table(p, columns=["docID", "dl"], filesystem=fs)
     return {
         "docID": t.column("docID").to_numpy(),
         "dl": t.column("dl").to_numpy(),
@@ -224,7 +224,7 @@ class IndexBuilder:
         # switches from a broadcast anti-join to a Bloom pre-gate + plain
         # anti-join (the seen side is never broadcast whole)
         self.broadcast_seen_max = broadcast_seen_max
-        os.makedirs(f"{self.dir}/manifests", exist_ok=True)
+        fsio.makedirs(f"{self.dir}/manifests")
 
     @property
     def n_shards(self) -> int:
@@ -237,10 +237,9 @@ class IndexBuilder:
 
     def _done(self, unit: str) -> bool:
         p = self._mpath(unit)
-        if not os.path.exists(p):
+        if not fsio.exists(p):
             return False
-        with open(p) as f:
-            return json.load(f).get("status") == "complete"
+        return fsio.read_json(p).get("status") == "complete"
 
     def _commit(self, unit: str, **counters) -> None:
         _atomic_write_json(
@@ -249,11 +248,10 @@ class IndexBuilder:
         )
 
     def manifests(self) -> list[dict]:
-        out = []
-        for fn in sorted(os.listdir(f"{self.dir}/manifests")):
-            with open(f"{self.dir}/manifests/{fn}") as f:
-                out.append(json.load(f))
-        return out
+        return [
+            fsio.read_json(f"{self.dir}/manifests/{fn}")
+            for fn in fsio.listdir(f"{self.dir}/manifests")
+        ]
 
     def _read_union(self, paths: list[str]) -> DataFrame:
         """Union several (possibly partitioned) parquet datasets — separate
@@ -602,38 +600,29 @@ class IndexBuilder:
         self.finalize()
 
     def meta(self) -> dict:
-        with open(f"{self.dir}/_meta.json") as f:
-            return json.load(f)
+        return fsio.read_json(f"{self.dir}/_meta.json")
 
 
 def purge_index(index_dir: str) -> None:
     """S13 purge: drop every index artifact (segments, stats, runs,
     merges, manifests) — the reference's cascade purge + VACUUM
     (``/root/reference/db/db_manager.py:145-165``)."""
-    import shutil
-
     for sub in ("segments", "doc_stats", "term_stats", "docs", "runs",
                 "merged", "manifests", "lineage_segments.json", "_meta.json"):
-        path = os.path.join(index_dir, sub)
-        if os.path.isdir(path):
-            shutil.rmtree(path, ignore_errors=True)
-        elif os.path.exists(path):
-            os.remove(path)
+        fsio.rmtree(f"{index_dir}/{sub}")
 
 
 def purge_run(index_dir: str, run_id: str) -> None:
     """S13 per-source purge: drop one run and the downstream merge /
     finalize artifacts it contributed to (they must rebuild)."""
-    import shutil
-
-    shutil.rmtree(os.path.join(index_dir, "runs", run_id), ignore_errors=True)
-    mdir = os.path.join(index_dir, "manifests")
-    for fn in os.listdir(mdir) if os.path.isdir(mdir) else []:
+    fsio.rmtree(f"{index_dir}/runs/{run_id}")
+    mdir = f"{index_dir}/manifests"
+    for fn in fsio.listdir(mdir):
         # exact manifest name for the purged run — a prefix match would
         # also delete manifests of runs whose id merely extends run_id
         # (purging "stream0001" must not touch "stream00010")
         if fn == f"run-{run_id}.json" or fn.startswith(
             ("merge-", "merged-final", "finalize")
         ):
-            os.remove(os.path.join(mdir, fn))
-    shutil.rmtree(os.path.join(index_dir, "merged"), ignore_errors=True)
+            fsio.remove(f"{mdir}/{fn}")
+    fsio.rmtree(f"{index_dir}/merged")

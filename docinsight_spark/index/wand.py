@@ -41,7 +41,6 @@ reference's FAISS-vs-numpy dual implementation
 
 from __future__ import annotations
 
-import json
 from typing import Iterator
 
 import numpy as np
@@ -58,8 +57,9 @@ from docinsight_spark.index.codec import BlockMeta, decode_block
 
 
 def _load_meta(index_dir: str) -> dict:
-    with open(f"{index_dir}/_meta.json") as f:
-        return json.load(f)
+    from docinsight_spark.index import fsio
+
+    return fsio.read_json(f"{index_dir}/_meta.json")
 
 
 class _SegRow:

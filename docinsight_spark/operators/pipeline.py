@@ -89,12 +89,10 @@ def analyze_documents(
     # A verbatim match lands ~0.5-0.8; incidental shared common terms
     # land ≪ 0.35 because unmatched (especially rare) terms still count
     # in the denominator.
-    import json as _json
-
     from docinsight_spark.functions.tokenizer import code_tokens_udf
+    from docinsight_spark.index import fsio
 
-    with open(f"{index_dir}/_meta.json") as fh:
-        n_docs = int(_json.load(fh)["n_docs"])
+    n_docs = int(fsio.read_json(f"{index_dir}/_meta.json")["n_docs"])
     ts = spark.read.parquet(f"{index_dir}/term_stats")
     qterms = chunks.select(
         "doc_id", "idx",

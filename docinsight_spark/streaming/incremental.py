@@ -57,10 +57,10 @@ def refresh(builder: IndexBuilder, fanin: int = 8) -> None:
     Clears the merge/finalize manifests so the wave plan recomputes over
     the new run set (completed *runs* stay cached — only the merge tree
     re-executes, which is the part invalidated by new data)."""
-    import os
+    from docinsight_spark.index import fsio
 
-    for fn in os.listdir(f"{builder.dir}/manifests"):
+    for fn in fsio.listdir(f"{builder.dir}/manifests"):
         if fn.startswith(("merge-", "merged-final", "finalize")):
-            os.remove(f"{builder.dir}/manifests/{fn}")
+            fsio.remove(f"{builder.dir}/manifests/{fn}")
     builder.merge_all(fanin=fanin)
     builder.finalize()
