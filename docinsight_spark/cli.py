@@ -91,9 +91,19 @@ def cmd_report(args) -> int:
         "top_risk_spans": span_rows,
     }
     if args.out:
+        from docinsight_spark.report import render_html
+
         with open(args.out, "w") as f:
             json.dump(out, f, indent=1, default=str)
-        print(json.dumps({"status": "written", "out": args.out}))
+        html_out = (
+            args.out[: -len(".json")] + ".html"
+            if args.out.endswith(".json")
+            else args.out + ".html"
+        )
+        with open(html_out, "w") as f:
+            f.write(render_html(out))
+        print(json.dumps({"status": "written", "out": args.out,
+                          "html": html_out}))
     else:
         print(json.dumps(out, default=str))
     return 0

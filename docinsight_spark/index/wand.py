@@ -207,6 +207,62 @@ class Searcher:
         )
 
 
+# Query batches up to this many rows tokenize driver-side (saves one
+# Spark job per search call); larger batches — e.g. cmd_report feeding
+# one row per line of every query document — tokenize distributed so
+# the driver never becomes the tokenizer.
+DRIVER_TOKENIZE_MAX = 512
+
+
+def _query_term_map(
+    queries: DataFrame, code_aware: bool, driver_max: int
+) -> dict[int, list[str]]:
+    """{query_id: sorted distinct terms}.  Small batches collect text and
+    tokenize on the driver; large batches tokenize in executors and only
+    the distinct (query_id, term) pairs cross to the driver."""
+    q = queries.select("query_id", "query_text")
+    head = q.limit(driver_max + 1).collect() if driver_max >= 0 else []
+    if driver_max >= 0 and len(head) <= driver_max:
+        if code_aware:
+            from docinsight_spark.functions.tokenizer import tokenize_code_pandas
+
+            toks = tokenize_code_pandas(
+                pd.Series([r["query_text"] for r in head]),
+                pd.Series(["java"] * len(head)),
+            )
+        else:
+            import re as _re
+
+            toks = [
+                [t for t in _re.split(r"\s+", (r["query_text"] or "").lower()) if t]
+                for r in head
+            ]
+        qmap: dict[int, list[str]] = {}
+        for r, ts in zip(head, toks):
+            qmap.setdefault(int(r["query_id"]), []).extend(ts)
+        return {qid: sorted(set(ts)) for qid, ts in qmap.items() if ts}
+
+    from docinsight_spark.functions.tokenizer import (
+        code_tokens_udf,
+        simple_tokens_col,
+    )
+
+    tok = (
+        code_tokens_udf(F.col("query_text"), F.lit("java"))
+        if code_aware
+        else simple_tokens_col("query_text")
+    )
+    pairs = (
+        q.select("query_id", F.explode(F.array_distinct(tok)).alias("term"))
+        .distinct()
+        .collect()
+    )
+    qmap = {}
+    for r in pairs:
+        qmap.setdefault(int(r["query_id"]), []).append(r["term"])
+    return {qid: sorted(set(ts)) for qid, ts in qmap.items() if ts}
+
+
 def wand_search(
     spark: SparkSession,
     index_dir: str,
@@ -216,8 +272,11 @@ def wand_search(
     _segments: DataFrame | None = None,
     _meta: dict | None = None,
     _tstats: DataFrame | None = None,
+    driver_tokenize_max: int | None = None,
 ) -> DataFrame:
     """(query_id, rank, docID, score) — fast path over the segment index."""
+    if driver_tokenize_max is None:
+        driver_tokenize_max = DRIVER_TOKENIZE_MAX
     meta = _meta or _load_meta(index_dir)
     if int(meta.get("version", 0)) < 3:
         raise ValueError(
@@ -226,27 +285,7 @@ def wand_search(
         )
     if code_aware is None:
         code_aware = bool(meta.get("code_aware", True))
-    # Tokenize the (small) query batch driver-side — saves one Spark job
-    # per search call; queries are bounded, documents are not.
-    qrows = queries.select("query_id", "query_text").collect()
-    if code_aware:
-        from docinsight_spark.functions.tokenizer import tokenize_code_pandas
-
-        toks = tokenize_code_pandas(
-            pd.Series([r["query_text"] for r in qrows]),
-            pd.Series(["java"] * len(qrows)),
-        )
-    else:
-        import re as _re
-
-        toks = [
-            [t for t in _re.split(r"\s+", (r["query_text"] or "").lower()) if t]
-            for r in qrows
-        ]
-    qmap: dict[int, list[str]] = {}
-    for r, ts in zip(qrows, toks):
-        qmap.setdefault(int(r["query_id"]), []).extend(ts)
-    qmap = {q: sorted(set(ts)) for q, ts in qmap.items() if ts}
+    qmap = _query_term_map(queries, code_aware, driver_tokenize_max)
     all_terms = sorted({t for ts in qmap.values() for t in ts})
     if not all_terms:
         return spark.createDataFrame(

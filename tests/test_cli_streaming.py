@@ -56,6 +56,15 @@ def test_cli_build_query_report(spark, cli_env, capsys):
     for r in rep["originality"]:
         assert 0.0 <= r["originality_score"] <= 1.0
         assert r["total_sentences"] >= 1
+    # the reference emits a JSON + HTML pair (enhanced_pipeline.py:649-721);
+    # the HTML must carry the per-document scores
+    html_out = f"{cli_env['root']}/report.html"
+    assert os.path.exists(html_out)
+    with open(html_out) as f:
+        page = f.read()
+    assert "<table>" in page
+    for r in rep["originality"]:
+        assert f"{r['originality_score']:.4f}" in page
 
 
 def test_streaming_incremental_ingest(spark, tmp_path):

@@ -62,6 +62,38 @@ def test_unicode_and_long_query(spark, small_idx):
     assert len(res) == 3
 
 
+def test_distributed_tokenize_matches_driver_path(spark, small_idx):
+    """Above the batch-size threshold queries tokenize in executors;
+    results must be identical to the driver-side path."""
+    from docinsight_spark.corpus import make_queries
+
+    q = make_queries(spark, corpus_n=200, n_queries=12)
+    a = (
+        wand_search(spark, small_idx, q, k=5, driver_tokenize_max=0)
+        .orderBy("query_id", "rank").toPandas()
+    )
+    b = wand_search(spark, small_idx, q, k=5).orderBy("query_id", "rank").toPandas()
+    assert a[["query_id", "rank", "docID"]].equals(b[["query_id", "rank", "docID"]])
+    assert (abs(a["score"] - b["score"]) < 1e-12).all()
+
+
+def test_report_pipeline_large_batch_distributed_tokenize(
+    spark, small_idx, tiny_corpus, monkeypatch
+):
+    """cmd_report's shape: ~1k query lines.  The driver-side tokenizer
+    must be off (threshold forced to 0) and the pipeline still answers."""
+    from docinsight_spark.index import wand as wand_mod
+    from docinsight_spark.operators.pipeline import analyze_documents
+
+    monkeypatch.setattr(wand_mod, "DRIVER_TOKENIZE_MAX", 0)
+    qdocs = tiny_corpus.limit(60).select(
+        F.xxhash64("repo", "path").alias("doc_id"), F.col("content")
+    )  # ~60 docs × ~15-30 lines ≈ 1k query sentences
+    sent, spans, orig = analyze_documents(spark, small_idx, qdocs, k=5)
+    assert orig.count() == 60
+    assert sent.count() >= 600
+
+
 def test_huge_k_hot_term_scores_descend(spark, small_idx):
     res = wand_search(spark, small_idx, _q(spark, "return int value"), k=200).toPandas()
     assert len(res) <= 200
