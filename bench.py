@@ -48,6 +48,11 @@ def main() -> None:
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
+    try:
+        with open("/proc/loadavg") as f:
+            extras["loadavg_start"] = float(f.read().split()[0])
+    except OSError:
+        pass
 
     def timed(name):
         class _T:
@@ -83,9 +88,27 @@ def main() -> None:
         # -- WAND query batch over the built index -------------------------
         queries = make_queries(spark, corpus_n=N_FILES, n_queries=40)
         with timed("wand_query"):
-            n = wand_search(spark, idx_dir, queries, k=10).count()
+            res = wand_search(spark, idx_dir, queries, k=10)
+            n = res.count()
         extras["wand_result_rows"] = n
         extras["wand_qps"] = round(40 / timings["wand_query"], 2)
+
+        # -- model-quality metric: WAND vs exact oracle rank correlation
+        #    (reference analog: scripts/evaluate_models.py Spearman) -------
+        from docinsight_spark.evaluation import (
+            oracle_from_index,
+            per_query_rank_correlation,
+            rank_correlation_summary,
+        )
+
+        with timed("quality_eval"):
+            oracle = oracle_from_index(spark, idx_dir, queries, k=10)
+            corr = rank_correlation_summary(
+                per_query_rank_correlation(res, oracle)
+            )
+        extras["spearman_wand_vs_oracle"] = round(corr["mean_spearman"], 6)
+        extras["min_spearman"] = round(corr["min_spearman"], 6)
+        extras["pearson_wand_vs_oracle"] = round(corr["mean_pearson"], 6)
 
         # -- single-query latency percentiles (BASELINE: p50/p95) ----------
         # server mode: resident index (the reference serves queries from a
@@ -121,6 +144,11 @@ def main() -> None:
         shutil.rmtree(corpus_dir, ignore_errors=True)
         spark.stop()
 
+    try:  # shared-host context: record machine load with the numbers
+        with open("/proc/loadavg") as f:
+            extras["loadavg_end"] = float(f.read().split()[0])
+    except OSError:
+        pass
     total = round(sum(v for k, v in timings.items() if k != "datagen"), 3)
     out = {
         "metric": "headline-suite wall time (index build + BM25 WAND/oracle "

@@ -1,0 +1,110 @@
+"""Model-quality evaluation: rank correlation between two scorers.
+
+The reference evaluates its models with Spearman/Pearson correlation and
+threshold sweeps (``/root/reference/scripts/evaluate_models.py:80-171``).
+The engine's "model" is the block-max WAND fast path; its quality metric
+is the rank correlation against the exact BM25 oracle
+(:mod:`docinsight_spark.operators.query`) over a query set — 1.0 means
+rank-identical, the engine's contract.  Emitted in the bench JSON and
+pinned by pytest.  (The threshold-sweep half of the reference's
+evaluation lives in the driver contract as ``threshold_sweep``.)
+
+All computation is DataFrame algebra: window ranks + one aggregation —
+no driver-side loops, so the metric itself scales with the result sets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def per_query_rank_correlation(
+    res_a: DataFrame,
+    res_b: DataFrame,
+    key: tuple[str, str] = ("query_id", "docID"),
+    score_col: str = "score",
+) -> DataFrame:
+    """(query_id, n, spearman, pearson) over the docs BOTH sides returned.
+
+    Ranks are recomputed within the common subset (score desc, docID asc
+    tie-break) so the statistic is well-defined even when the two sides'
+    cutoffs differ; ``spearman = 1 − 6·Σd²/(n(n²−1))``, null for n < 2.
+    """
+    qid, did = key
+    a = res_a.select(qid, did, F.col(score_col).alias("_sa"))
+    b = res_b.select(qid, did, F.col(score_col).alias("_sb"))
+    j = a.join(b, [qid, did], "inner")
+    wa = Window.partitionBy(qid).orderBy(F.col("_sa").desc(), F.col(did))
+    wb = Window.partitionBy(qid).orderBy(F.col("_sb").desc(), F.col(did))
+    j = (
+        j.withColumn("_ra", F.row_number().over(wa))
+        .withColumn("_rb", F.row_number().over(wb))
+    )
+    n = F.col("n").cast("double")
+    return (
+        j.groupBy(qid)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.pow(F.col("_ra") - F.col("_rb"), 2)).alias("_d2"),
+            F.corr("_sa", "_sb").alias("pearson"),
+        )
+        .withColumn(
+            "spearman",
+            F.when(
+                F.col("n") >= 2,
+                1.0 - 6.0 * F.col("_d2") / (n * (n * n - 1.0)),
+            ),
+        )
+        .select(qid, "n", "spearman", "pearson")
+    )
+
+
+def rank_correlation_summary(per_query: DataFrame) -> dict:
+    """{mean_spearman, min_spearman, mean_pearson, n_queries} (n ≥ 2 only)."""
+    row = (
+        per_query.filter(F.col("spearman").isNotNull())
+        .agg(
+            F.avg("spearman").alias("mean_spearman"),
+            F.min("spearman").alias("min_spearman"),
+            F.avg("pearson").alias("mean_pearson"),
+            F.count(F.lit(1)).alias("n_queries"),
+        )
+        .collect()[0]
+    )
+    return {
+        "mean_spearman": float(row["mean_spearman"] or 0.0),
+        "min_spearman": float(row["min_spearman"] or 0.0),
+        "mean_pearson": float(row["mean_pearson"] or 0.0),
+        "n_queries": int(row["n_queries"]),
+    }
+
+
+def oracle_from_index(
+    spark: SparkSession, index_dir: str, queries: DataFrame, k: int = 10
+) -> DataFrame:
+    """Exact BM25 top-k using the *index's own* materialized relations
+    (merged postings, doc/term stats) — no re-tokenize, so the oracle
+    pass costs one scan + the scoring joins."""
+    from docinsight_spark.index import fsio
+    from docinsight_spark.operators.postings import CorpusStats
+    from docinsight_spark.operators.query import search
+
+    meta = fsio.read_json(f"{index_dir}/_meta.json")
+    manifests = [
+        fsio.read_json(f"{index_dir}/manifests/{fn}")
+        for fn in fsio.listdir(f"{index_dir}/manifests")
+    ]
+    final = [m for m in manifests if m.get("unit") == "merged-final"]
+    if not final:
+        raise ValueError("index has no merged-final manifest")
+    postings = spark.read.parquet(f"{final[0]['source']}/postings").select(
+        "term", "docID", "tf"
+    )
+    tstats = spark.read.parquet(f"{index_dir}/term_stats")
+    dstats = spark.read.parquet(f"{index_dir}/doc_stats").select("docID", "dl")
+    stats = CorpusStats(n_docs=int(meta["n_docs"]), avgdl=float(meta["avgdl"]))
+    return search(
+        queries, postings, tstats, dstats, stats, k=k,
+        code_aware=bool(meta.get("code_aware", True)),
+    )
