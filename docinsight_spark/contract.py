@@ -651,26 +651,61 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
-def _simhash_sql() -> str:
+def _simhash_core() -> str:
+    """CTE chain ending in ``sigs(doc_id, simhash)``."""
     bit_sums = ", ".join(
         "sum(tf * (((CAST('0x' || substr(md5(term), 1, 8) AS BIGINT) // "
         f"{2 ** j}) % 2) * 2 - 1)) AS s{j}"
         for j in range(32)
     )
     sig = " + ".join(f"CASE WHEN s{j} > 0 THEN {2 ** j} ELSE 0 END" for j in range(32))
-    return f"""WITH {_SQL_TOKS},
+    return f"""{_SQL_TOKS},
 tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term),
-sums AS (SELECT doc_id, {bit_sums} FROM tf GROUP BY doc_id)
-SELECT doc_id, ({sig})::BIGINT AS simhash FROM sums"""
+sums AS (SELECT doc_id, {bit_sums} FROM tf GROUP BY doc_id),
+sigs AS (SELECT doc_id, ({sig})::BIGINT AS simhash FROM sums)"""
 
 
-@_register("simhash_sigs", _simhash_sql())
+@_register(
+    "simhash_sigs", f"WITH {_simhash_core()} SELECT doc_id, simhash FROM sigs"
+)
 def simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tf-weighted 32-bit SimHash signatures."""
     from docinsight_spark.operators.dedup import simhash
 
     return simhash(_docs(spark, sf_dir), "doc_id", "text").select(
         F.col("id").alias("doc_id"), "simhash"
+    )
+
+
+_SIMHAM_DIST = 3
+
+
+@_register(
+    "simhash_hamming",
+    f"""WITH {_simhash_core()},
+blk AS (
+  SELECT doc_id, simhash, unnest([0, 1, 2, 3]) AS blk_i FROM sigs
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM blk a JOIN blk b
+    ON a.blk_i = b.blk_i
+   AND ((a.simhash >> (a.blk_i * 8)) & 255) = ((b.simhash >> (b.blk_i * 8)) & 255)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(sa, sb))::BIGINT AS hamming
+FROM pairs WHERE bit_count(xor(sa, sb)) <= {_SIMHAM_DIST}""",
+)
+def simhash_hamming_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance 3 via the 4-way
+    block index join (never all-pairs)."""
+    from docinsight_spark.operators.dedup import simhash, simhash_hamming_pairs
+
+    sig = simhash(_docs(spark, sf_dir), "doc_id", "text")
+    out = simhash_hamming_pairs(sig, max_distance=_SIMHAM_DIST)
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
     )
 
 

@@ -208,6 +208,7 @@ def ivf_index(
     id_col: str = "vec_id",
     n_centroids: int = 16,
     seed: int = 42,
+    fit_fraction: float | None = None,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Partition vectors into Voronoi cells via MLlib KMeans.
 
@@ -215,14 +216,25 @@ def ivf_index(
     persist it partitioned by ``ivf_cluster`` so queries prune cells at
     scan time (the IVF analog of the reference's flat index — FAISS
     ``IndexFlatIP``, ``/root/reference/config.py:244`` — traded for a
-    pruned scan)."""
+    pruned scan).
+
+    ``fit_fraction``: fit the centroids on a seeded sample instead of the
+    full corpus — at 10^12 vectors a full KMeans fit is infeasible and
+    unnecessary (cells only need approximate centroids; the *assignment*
+    still covers every vector exactly).  Pick it so the sample is
+    ~100-1000× n_centroids rows."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     u = with_unit_vectors(df, vec_col)
     feat = u.withColumn("_fv", array_to_vector(F.col("unit_vec")))
+    fit_df = (
+        feat.sample(fraction=fit_fraction, seed=seed)
+        if fit_fraction is not None and fit_fraction < 1.0
+        else feat
+    )
     model = KMeans(k=n_centroids, seed=seed, featuresCol="_fv",
-                   predictionCol="ivf_cluster").fit(feat)
+                   predictionCol="ivf_cluster").fit(fit_df)
     assigned = model.transform(feat).drop("_fv").select(
         F.col(id_col).alias("vec_id"), F.col("unit_vec"), "ivf_cluster"
     )
@@ -241,19 +253,25 @@ def ivf_topk(
 ) -> DataFrame:
     """Approximate top-k: probe the ``nprobe`` nearest cells per query,
     exact cosine inside.  Query→cell assignment happens driver-side
-    (query batches are small; the centroid table is tiny)."""
+    (query batches are small; the centroid table is tiny).
+
+    Cell proximity uses the SAME metric KMeans assigned with — Euclidean
+    distance to the raw centroid (‖q−c‖² = 1 − 2q·c + ‖c‖² for unit q,
+    ranked by 2q·c − ‖c‖²).  Ranking by cosine against *normalized*
+    centroids disagrees with the assignment when centroid norms vary, and
+    can miss a vector's own cell (observed with sampled-fit centroids)."""
     import numpy as np
 
     cent = np.asarray(centroids, dtype=np.float64)
-    cent = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    cent_sq = (cent ** 2).sum(axis=1)
     qrows = with_unit_vectors(queries, vec_col).select(
         F.col(query_id).alias("query_id"), "unit_vec"
     ).collect()
     pairs = []
     for r in qrows:
         qv = np.asarray(r["unit_vec"], dtype=np.float64)
-        sims = cent @ qv
-        for c in np.argsort(-sims)[:nprobe]:
+        prox = 2.0 * (cent @ qv) - cent_sq  # == −‖q−c‖² + const
+        for c in np.argsort(-prox)[:nprobe]:
             pairs.append((int(r["query_id"]), int(c), [float(x) for x in qv]))
     spark = assigned.sparkSession
     probes = spark.createDataFrame(

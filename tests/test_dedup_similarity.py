@@ -195,3 +195,20 @@ def test_ivf_topk_recall(spark, emb):
         a = set(approx[approx.query_id == q]["vec_id"])
         hits += len(e & a)
     assert hits >= 15  # ≥60% recall@5 with 3/8 cells probed
+
+
+def test_ivf_sampled_fit_still_answers(spark, emb):
+    """fit_fraction trains centroids on a sample (the 10^12-scale mode);
+    assignment stays exhaustive and queries still hit every k."""
+    from docinsight_spark.operators.similarity import ivf_index, ivf_topk
+
+    assigned, centroids = ivf_index(emb, n_centroids=8, fit_fraction=0.3)
+    assert len(centroids) == 8
+    assert assigned.count() == emb.count()  # every vector assigned
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = ivf_topk(assigned, centroids, queries, k=5, nprobe=3).toPandas()
+    assert (approx.groupby("query_id").size() == 5).all()
+    a1 = approx[approx["rank"] == 1]
+    assert (a1["query_id"].values == a1["vec_id"].values).all()  # self-hit
