@@ -311,30 +311,31 @@ def wand_search(
         terms_df = spark.createDataFrame([(t,) for t in all_terms], "term string")
         seg = base.join(F.broadcast(terms_df), "term", "left_semi")
         tfil = tstats.join(F.broadcast(terms_df), "term", "left_semi")
-    # Per-term document frequency for the query's terms only — segments
-    # store idf-independent block maxima, so idf = f(df) is applied
-    # here.  The scan is pruned to the query terms (term_stats files are
-    # term-sorted → row-group skipping); only |query terms| rows move.
-    df_map = {r["term"]: float(r["df"]) for r in tfil.collect()}
-    bc = spark.sparkContext.broadcast((qmap, df_map))
+    # Segments store idf-independent block maxima; df (→ idf) joins back
+    # in-plan: tfil is pruned to the query's terms (term-sorted files →
+    # row-group skipping), so the broadcast is bounded by |query terms|,
+    # never the vocabulary — and no extra driver round-trip job runs per
+    # search call.  A segment term absent from term_stats (corruption)
+    # drops out here; DOCINSIGHT_STRICT_DL covers loud detection.
+    seg = seg.join(F.broadcast(tfil), "term")
+    bc = spark.sparkContext.broadcast(qmap)
     strict = strict_dl_enabled()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        qmap_bc, df_bc = bc.value
+        qmap_bc = bc.value
         by_shard: dict[tuple[int, int], list[_SegRow]] = {}
         for pdf in batches:
             bks = pdf["doc_bucket"].to_numpy()
             subs = pdf["doc_sub"].to_numpy()
             terms = pdf["term"].to_numpy()
+            dfs = pdf["df"].to_numpy()
             fdoc, ldoc = pdf["first_doc"].values, pdf["last_doc"].values
             bns, offs = pdf["bn"].values, pdf["offsets"].values
             dbs, mxs = pdf["doc_bytes"].values, pdf["max_score"].values
             pays = pdf["payload"].values
             for i in range(len(pdf)):
                 mx = np.asarray(mxs[i], np.float32)
-                # a term present in segments must be in term_stats — a
-                # KeyError here means index corruption, fail loudly
-                df_i = df_bc[str(terms[i])]
+                df_i = float(dfs[i])
                 idf_i = float(np.log((n_docs - df_i + 0.5) / (df_i + 0.5) + 1.0))
                 meta_i = BlockMeta(
                     first_doc=np.asarray(fdoc[i], np.int64),
