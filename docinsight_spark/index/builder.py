@@ -92,9 +92,17 @@ def _footer_rows(path: str, per_dir_key: str | None = None) -> tuple[int, dict]:
     import pyarrow.parquet as pq
 
     fs, _ = fsio.resolve(path)
+    files = fsio.glob_parquet(path)
     total, per = 0, {}
-    for f in fsio.glob_parquet(path):
-        n = pq.read_metadata(f, filesystem=fs).num_rows
+    # footer reads are tiny but latency-bound (driver-side, one round
+    # trip per file on a DFS / contended disk) — overlap them
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(32, max(len(files), 1))) as ex:
+        counts = list(ex.map(
+            lambda f: pq.read_metadata(f, filesystem=fs).num_rows, files
+        ))
+    for f, n in zip(files, counts):
         total += n
         if per_dir_key:
             part = [p for p in f.split("/") if p.startswith(f"{per_dir_key}=")]
@@ -108,12 +116,15 @@ def _segment_lineage(path: str) -> dict:
     """Per-bucket segment counters from parquet footers: row counts and
     the compressed size of the ``payload`` column — no Spark job."""
     import pyarrow.parquet as pq
+    from concurrent.futures import ThreadPoolExecutor
 
     fs, _ = fsio.resolve(path)
+    files = fsio.glob_parquet(path)
     per: dict[str, dict] = {}
     total_rows, total_bytes = 0, 0
-    for f in fsio.glob_parquet(path):
-        md = pq.read_metadata(f, filesystem=fs)
+    with ThreadPoolExecutor(max_workers=min(32, max(len(files), 1))) as ex:
+        mds = list(ex.map(lambda f: pq.read_metadata(f, filesystem=fs), files))
+    for f, md in zip(files, mds):
         part = [p for p in f.split("/") if p.startswith("doc_bucket=")]
         key = part[0].split("=", 1)[1] if part else "?"
         pay = 0
@@ -386,6 +397,9 @@ class IndexBuilder:
         (term, docID) — the layout the segment encoder and parquet
         row-group pruning rely on."""
         postings = self._read_union([f"{s}/postings" for s in grp])
+        # range (not hash) keeps every shard its own task at guaranteed
+        # balance; the sampling pass re-reads only materialized parquet
+        # (A/B-measured equal to hash at 300k files — balance wins ties).
         (
             postings.repartitionByRange(self.n_shards, "doc_bucket", "doc_sub")
             .sortWithinPartitions("doc_bucket", "doc_sub", "term", "docID")
@@ -411,10 +425,15 @@ class IndexBuilder:
         postings = self.spark.read.parquet(f"{merged_dir}/postings")
 
         # doc_stats: (docID, dl) per bucket — the kernel-side dl source.
+        # Hash repartition, NOT repartitionByRange: range partitioning
+        # samples its input, which would run the whole groupBy twice
+        # (range directly on an unmaterialized aggregate = double agg).
+        # The key domain is tiny (n_buckets ints), so hash clustering is
+        # enough to keep file counts bounded per partition dir.
         (
             postings.groupBy("doc_bucket", "docID")
             .agg(F.sum("tf").alias("dl"))
-            .repartitionByRange(self.n_buckets, "doc_bucket")
+            .repartition(self.n_buckets, "doc_bucket")
             .write.mode("overwrite")
             .partitionBy("doc_bucket")
             .parquet(f"{self.dir}/doc_stats")

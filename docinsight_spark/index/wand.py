@@ -380,7 +380,10 @@ def wand_search(
             {"query_id": "int64", "docID": "int64", "score": "float64"}
         )
 
-    local = seg.repartitionByRange(n_shards, "doc_bucket", "doc_sub").mapInPandas(
+    # Hash repartition (not range): the kernel groups rows by shard key
+    # itself, so co-location is all that matters — and range partitioning
+    # would add a sampling job per search call (query fixed cost).
+    local = seg.repartition(n_shards, "doc_bucket", "doc_sub").mapInPandas(
         run, schema="query_id long, docID long, score double"
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("docID"))
