@@ -430,9 +430,15 @@ class IndexBuilder:
         # (range directly on an unmaterialized aggregate = double agg).
         # The key domain is tiny (n_buckets ints), so hash clustering is
         # enough to keep file counts bounded per partition dir.
+        # N / avgdl ride along as observed metrics of the SAME write job
+        # (no read-back aggregation job).
+        from pyspark.sql import Observation
+
+        obs = Observation("corpus_stats")
         (
             postings.groupBy("doc_bucket", "docID")
             .agg(F.sum("tf").alias("dl"))
+            .observe(obs, F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
             .repartition(self.n_buckets, "doc_bucket")
             .write.mode("overwrite")
             .partitionBy("doc_bucket")
@@ -447,9 +453,8 @@ class IndexBuilder:
         ts.sortWithinPartitions("term").write.mode("overwrite").parquet(
             f"{self.dir}/term_stats"
         )
-        ds = self.spark.read.parquet(f"{self.dir}/doc_stats")
-        row = ds.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
-        n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
+        stats_row = obs.get
+        n_docs, avgdl = int(stats_row["n"]), float(stats_row["avgdl"] or 0.0)
         meta = {
             "n_docs": n_docs,
             "avgdl": avgdl,
