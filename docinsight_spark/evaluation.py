@@ -94,6 +94,7 @@ def oracle_from_index(
     manifests = [
         fsio.read_json(f"{index_dir}/manifests/{fn}")
         for fn in fsio.listdir(f"{index_dir}/manifests")
+        if fn.endswith(".json")
     ]
     final = [m for m in manifests if m.get("unit") == "merged-final"]
     if not final:

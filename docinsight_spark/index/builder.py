@@ -259,9 +259,12 @@ class IndexBuilder:
         )
 
     def manifests(self) -> list[dict]:
+        # only committed manifests: a crash between tmp-write and rename
+        # leaves *.json.tmp.<pid> files that must not count as lineage
         return [
             fsio.read_json(f"{self.dir}/manifests/{fn}")
             for fn in fsio.listdir(f"{self.dir}/manifests")
+            if fn.endswith(".json")
         ]
 
     def _read_union(self, paths: list[str]) -> DataFrame:

@@ -54,6 +54,22 @@ def test_full_build_and_query_on_file_uri(spark, tmp_path, tiny_corpus):
     assert not fsio.exists(f"{idx}/segments")
 
 
+def test_stray_tmp_manifest_ignored(spark, tmp_path, tiny_corpus):
+    """A crash between tmp-write and rename must not poison lineage."""
+    idx = str(tmp_path / "idx_tmpfile")
+    b = IndexBuilder(spark, idx, n_buckets=4)
+    b.add_run(tiny_corpus, "base")
+    stray = f"{idx}/manifests/run-ghost.json.tmp.12345"
+    fsio.makedirs(f"{idx}/manifests")
+    import json
+
+    with open(stray, "w") as f:
+        json.dump({"unit": "run-ghost", "status": "complete",
+                   "run_id": "ghost", "docs": 1}, f)
+    units = {m["unit"] for m in b.manifests()}
+    assert units == {"run-base"}
+
+
 def test_incremental_gate_on_file_uri(spark, tmp_path, tiny_corpus):
     idx = f"file://{tmp_path}/idx_uri2"
     b = IndexBuilder(spark, idx, n_buckets=4)
