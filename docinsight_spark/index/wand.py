@@ -64,9 +64,17 @@ def _load_meta(index_dir: str) -> dict:
 
 class _SegRow:
     """One (shard, term) posting segment: lazy per-block decode + score,
-    cached across the query batch."""
+    cached across the query batch.
 
-    __slots__ = ("term", "df", "meta", "payload", "upper", "_blocks", "_scores")
+    Two cache tiers: per-block (selective queries decode only blocks
+    overlapping the accumulated candidate set) and fully-concatenated
+    (once any query touches every block, later queries reuse ONE array
+    pair — per-block python loops per (query, term) were the kernel's
+    hotspot on hot terms: ~100 blocks × 200 queries of dict hits and
+    per-block searchsorted)."""
+
+    __slots__ = ("term", "df", "meta", "payload", "upper",
+                 "_blocks", "_scores", "_full")
 
     def __init__(self, term, df, meta: BlockMeta, payload, upper):
         self.term = term
@@ -76,6 +84,7 @@ class _SegRow:
         self.upper = upper
         self._blocks: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         self._scores: dict[int, np.ndarray] = {}
+        self._full: tuple[np.ndarray, np.ndarray] | None = None
 
     def blocks_overlapping(self, doc_filter: np.ndarray | None) -> np.ndarray:
         nb = len(self.meta.n)
@@ -99,6 +108,23 @@ class _SegRow:
             sc = scorer(docs, tfs, self.df)
             self._scores[bi] = sc
         return docs, sc
+
+    def full_scores(self, scorer) -> tuple[np.ndarray, np.ndarray]:
+        """(all docs, all scores) concatenated — built once, then block
+        caches are dropped (the full arrays supersede them)."""
+        if self._full is None:
+            nb = len(self.meta.n)
+            if nb == 0:
+                self._full = (np.empty(0, np.int64), np.empty(0, np.float64))
+            else:
+                parts = [self.scores(bi, scorer) for bi in range(nb)]
+                self._full = (
+                    np.concatenate([p[0] for p in parts]),
+                    np.concatenate([p[1] for p in parts]),
+                )
+                self._blocks.clear()
+                self._scores.clear()
+        return self._full
 
 
 def _score_shard(
@@ -132,17 +158,29 @@ def _score_shard(
     def gather(term: str, doc_filter: np.ndarray | None):
         ds, ss = [], []
         for r in term_rows[term]:
-            for bi in r.blocks_overlapping(doc_filter):
-                d, s = r.scores(int(bi), scorer)
-                if doc_filter is not None:
-                    keep = (
-                        np.searchsorted(doc_filter, d, side="right")
-                        - np.searchsorted(doc_filter, d, side="left")
-                    ) > 0
-                    d, s = d[keep], s[keep]
-                if len(d):
-                    ds.append(d)
-                    ss.append(s)
+            if doc_filter is None or r._full is not None:
+                d, s = r.full_scores(scorer)
+            else:
+                # selective path: decode only blocks overlapping the
+                # accumulated candidate set (the block-skip win)
+                parts = [
+                    r.scores(int(bi), scorer)
+                    for bi in r.blocks_overlapping(doc_filter)
+                ]
+                if not parts:
+                    continue
+                d = np.concatenate([p[0] for p in parts])
+                s = np.concatenate([p[1] for p in parts])
+            if doc_filter is not None and len(d):
+                # one vectorized membership filter per (row, query)
+                keep = (
+                    np.searchsorted(doc_filter, d, side="right")
+                    - np.searchsorted(doc_filter, d, side="left")
+                ) > 0
+                d, s = d[keep], s[keep]
+            if len(d):
+                ds.append(d)
+                ss.append(s)
         if not ds:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         return np.concatenate(ds), np.concatenate(ss)
