@@ -34,9 +34,55 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 # corpus files for the index-build benchmark (the BASELINE input shape)
 N_FILES = int(os.environ.get("BENCH_CORPUS_FILES", "20000"))
+# shared-host methodology (BENCH/BASELINE.md): refuse to record numbers on a
+# contended machine, and take best-of-N per stage to shave residual noise.
+LOAD_MAX = float(os.environ.get("BENCH_LOAD_MAX", "3.0"))
+LOAD_WAIT_SEC = float(os.environ.get("BENCH_LOAD_WAIT_SEC", "900"))
+REPEATS = max(1, int(os.environ.get("BENCH_REPEATS", "2")))
+
+
+def _scratch_base() -> str:
+    """RAM-backed scratch when available: this sandbox's disk is shared
+    with other tenants (loadavg spikes from D-state IO waiters while the
+    CPU sits ~98% idle), which made round-2 numbers irreproducible.  The
+    benchmark measures the ENGINE, so its writable dirs (corpus, index,
+    shuffle spill) go to tmpfs — the stand-in for the executor-local
+    NVMe a real cluster node would have.  Override with $BENCH_SCRATCH."""
+    env = os.environ.get("BENCH_SCRATCH")
+    if env:
+        return env
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        return shm
+    return tempfile.gettempdir()
+
+
+def _loadavg() -> float:
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except OSError:
+        return 0.0
+
+
+def _load_gate(extras: dict) -> None:
+    """Block until the host is quiet (loadavg < LOAD_MAX) or the wait
+    budget runs out; record what happened either way."""
+    t0 = time.time()
+    load = _loadavg()
+    while load >= LOAD_MAX and time.time() - t0 < LOAD_WAIT_SEC:
+        time.sleep(15.0)
+        load = _loadavg()
+    extras["load_gate_max"] = LOAD_MAX
+    extras["load_gate_waited_sec"] = round(time.time() - t0, 1)
+    extras["load_gate_ok"] = load < LOAD_MAX
 
 
 def main() -> None:
+    scratch = _scratch_base()
+    os.environ.setdefault("SPARK_LOCAL_SCRATCH", os.path.join(scratch, "spark_local"))
+    os.makedirs(os.environ["SPARK_LOCAL_SCRATCH"], exist_ok=True)
+
     from pyspark.sql import functions as F
 
     from docinsight_spark.corpus import make_corpus, make_queries
@@ -47,39 +93,50 @@ def main() -> None:
     spark = get_spark(app_name="docinsight_bench", cores=CPUS)
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     timings: dict[str, float] = {}
-    extras: dict[str, float] = {}
-    try:
-        with open("/proc/loadavg") as f:
-            extras["loadavg_start"] = float(f.read().split()[0])
-    except OSError:
-        pass
+    stage_load: dict[str, float] = {}
+    extras: dict = {}
+    _load_gate(extras)
+    extras["loadavg_start"] = _loadavg()
 
-    def timed(name):
-        class _T:
-            def __enter__(self):
-                self.t0 = time.time()
-                return self
+    def bench(name, fn, repeats=REPEATS):
+        """Run ``fn`` ``repeats`` times; record the best wall time and the
+        loadavg observed just before the winning run."""
+        best, best_load = None, None
+        for _ in range(repeats):
+            load = _loadavg()
+            t0 = time.time()
+            out = fn()
+            dt = time.time() - t0
+            if best is None or dt < best:
+                best, best_load, result = dt, load, out
+        timings[name] = round(best, 3)
+        stage_load[name] = best_load
+        return result
 
-            def __exit__(self, *a):
-                timings[name] = round(time.time() - self.t0, 3)
-
-        return _T()
-
-    idx_dir = tempfile.mkdtemp(prefix="bench_idx_")
-    corpus_dir = tempfile.mkdtemp(prefix="bench_corpus_")
+    idx_dir = tempfile.mkdtemp(prefix="bench_idx_", dir=scratch)
+    corpus_dir = tempfile.mkdtemp(prefix="bench_corpus_", dir=scratch)
+    extras["scratch"] = scratch
     try:
         # -- materialize the input table once (the engine's input is a
         #    stored Iceberg/parquet table, not a generator) ----------------
-        with timed("datagen"):
+        def _datagen():
             make_corpus(spark, N_FILES, partitions=int(CPUS) * 2).write.mode(
                 "overwrite"
             ).parquet(corpus_dir)
+
+        bench("datagen", _datagen)
         corpus = spark.read.parquet(corpus_dir)
 
         # -- index build over the synthetic code corpus -------------------
-        with timed("index_build"):
+        # each repeat rebuilds into a fresh dir (the builder is resumable,
+        # so reusing the dir would measure a no-op second run)
+        def _build():
+            shutil.rmtree(idx_dir, ignore_errors=True)
+            os.makedirs(idx_dir, exist_ok=True)
             b = IndexBuilder(spark, idx_dir, n_buckets=32)
             b.build(corpus, n_runs=4, fanin=2)
+
+        bench("index_build", _build)
         extras["index_build_files_per_sec"] = round(
             N_FILES / timings["index_build"], 2
         )
@@ -87,9 +144,12 @@ def main() -> None:
 
         # -- WAND query batch over the built index -------------------------
         queries = make_queries(spark, corpus_n=N_FILES, n_queries=40)
-        with timed("wand_query"):
+
+        def _wand():
             res = wand_search(spark, idx_dir, queries, k=10)
-            n = res.count()
+            return res, res.count()
+
+        res, n = bench("wand_query", _wand)
         extras["wand_result_rows"] = n
         extras["wand_qps"] = round(40 / timings["wand_query"], 2)
 
@@ -101,11 +161,13 @@ def main() -> None:
             rank_correlation_summary,
         )
 
-        with timed("quality_eval"):
+        def _quality():
             oracle = oracle_from_index(spark, idx_dir, queries, k=10)
-            corr = rank_correlation_summary(
+            return rank_correlation_summary(
                 per_query_rank_correlation(res, oracle)
             )
+
+        corr = bench("quality_eval", _quality, repeats=1)
         extras["spearman_wand_vs_oracle"] = round(corr["mean_spearman"], 6)
         extras["min_spearman"] = round(corr["min_spearman"], 6)
         extras["pearson_wand_vs_oracle"] = round(corr["mean_pearson"], 6)
@@ -137,18 +199,15 @@ def main() -> None:
             "originality": "originality_report",
         }
         for label, qname in heads.items():
-            with timed(label):
-                QUERIES[qname](spark, SF_DIR).count()
+            bench(label, lambda q=qname: QUERIES[q](spark, SF_DIR).count())
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
         shutil.rmtree(corpus_dir, ignore_errors=True)
         spark.stop()
 
-    try:  # shared-host context: record machine load with the numbers
-        with open("/proc/loadavg") as f:
-            extras["loadavg_end"] = float(f.read().split()[0])
-    except OSError:
-        pass
+    extras["loadavg_end"] = _loadavg()
+    extras["repeats"] = REPEATS
+    extras["stage_loadavg"] = stage_load
     total = round(sum(v for k, v in timings.items() if k != "datagen"), 3)
     out = {
         "metric": "headline-suite wall time (index build + BM25 WAND/oracle "

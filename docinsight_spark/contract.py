@@ -1102,19 +1102,99 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Rows-only entry (non-SQL-expressible engine path — the driver
-# records a weaker rows-only check; full correctness lives in pytest):
+# IVF ANN: fixed seeded unit centroids (similarity.py:ivf_seed_centroids)
+# are embedded as literals in BOTH the Spark plan and the generated
+# DuckDB SQL — assignment and probe ranking happen on 7-dp-rounded dot
+# products against RAW vectors (positive scaling never flips an argmax
+# against unit centroids), so Voronoi cells, probes, and the rescored
+# candidates match exactly.  The KMeans-fitted IVF variant keeps its
+# recall/probe-metric pytest coverage (test_dedup_similarity.py).
 
-@_register("ivf_ann_topk")  # no oracle: KMeans cells aren't SQL
+_IVF_CENTS, _IVF_NPROBE, _IVF_K, _IVF_DIM, _IVF_DEC = 8, 3, 5, 64, 7
+
+
+def _ivf_ann_sql() -> str:
+    from docinsight_spark.operators.similarity import ivf_seed_centroids
+
+    cents = ivf_seed_centroids(_IVF_DIM, _IVF_CENTS, seed=4242)
+    rows = ", ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+WITH cents(ci, w) AS (VALUES {rows}),
+celldots AS (
+  SELECT e.vec_id, c.ci,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY round(list_dot_product(e.embedding::DOUBLE[], c.w),
+                          {_IVF_DEC}) DESC, c.ci) AS rn
+  FROM embeddings e CROSS JOIN cents c
+),
+asg AS (SELECT vec_id, ci FROM celldots WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, ci FROM celldots
+  WHERE vec_id < {_IVF_K} AND rn <= {_IVF_NPROBE}
+),
+cand AS (
+  SELECT DISTINCT p.query_id, a.vec_id
+  FROM probes p JOIN asg a USING (ci)
+),
+qx AS (
+  SELECT vec_id AS query_id, unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings WHERE vec_id < {_IVF_K}
+),
+cx AS (
+  SELECT vec_id, unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+),
+dots AS (
+  SELECT q.query_id, c.vec_id,
+         sum(q.v * c.v) AS dot,
+         sqrt(sum(q.v * q.v)) AS nq,
+         sqrt(sum(c.v * c.v)) AS nc
+  FROM qx q JOIN cx c USING (pos)
+  JOIN cand ON cand.query_id = q.query_id AND cand.vec_id = c.vec_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT query_id, vec_id, round(dot / (nq * nc), 4) AS cosine FROM dots
+)
+SELECT query_id, rank, vec_id, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= {_IVF_K}
+"""
+
+
+@_register("ivf_ann_topk", _ivf_ann_sql())
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from docinsight_spark.operators.similarity import ivf_index, ivf_topk
+    """IVF top-k over a fixed seeded coarse quantizer — the full IVF
+    query machinery (cell assignment, nprobe probe, pruned rescore)
+    hash-verified against the DuckDB oracle.  Reference analog: FAISS
+    index search, /root/reference/index/faiss_index.py:162-199."""
+    from docinsight_spark.operators.similarity import (
+        ivf_fixed_candidates,
+        ivf_seed_centroids,
+    )
 
+    cents = ivf_seed_centroids(_IVF_DIM, _IVF_CENTS, seed=4242)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    assigned, centroids = ivf_index(emb, n_centroids=8)
-    q = emb.filter(F.col("vec_id") < 5).select(
+    q = emb.filter(F.col("vec_id") < _IVF_K).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_topk(assigned, centroids, q, k=5, nprobe=3)
+    scored = ivf_fixed_candidates(
+        emb, q, cents, nprobe=_IVF_NPROBE, decimals=_IVF_DEC
+    ).select("query_id", "vec_id", F.round("cosine", 4).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _IVF_K)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
 
 
 # WAND fast path: the contract index is built with the SQL-expressible

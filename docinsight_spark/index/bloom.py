@@ -77,11 +77,25 @@ def build_bloom(
     fpp: float = 0.01,
     max_bits: int = 1 << 31,
     reduce_partitions: int = 8,
+    max_partials: int = 64,
 ) -> tuple[bytes, int, int]:
     """Build the filter over ``keys[key_col]`` (long). Returns
-    (bit_bytes, m_bits, k_hashes)."""
+    (bit_bytes, m_bits, k_hashes).
+
+    Memory/shuffle discipline for big filters: near the bit cap each
+    partial is ~256 MB, so (a) the scan is coalesced (narrow, no
+    shuffle) to at most ``max_partials`` tasks — total shuffled bitmap
+    bytes ≤ max_partials × n_bytes instead of n_input_partitions ×
+    n_bytes; (b) the OR tree reduces to a single partition; and (c) the
+    driver consumes the reduced partials via ``toLocalIterator`` — it
+    holds the final bitmap plus ONE partial, never
+    reduce_partitions × n_bytes at once."""
     m_bits, k = bloom_params(n_keys, fpp, max_bits)
     n_bytes = (m_bits + 7) // 8
+    big = n_bytes >= (1 << 24)  # ≥ 16 MB per partial bitmap
+    if big:
+        keys = keys.select(key_col).coalesce(max_partials)
+        reduce_partitions = 1
 
     def partition_bloom(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bits = np.zeros(n_bytes, dtype=np.uint8)
@@ -110,7 +124,7 @@ def build_bloom(
         or_blooms, "bloom binary"
     )
     final = np.zeros(n_bytes, dtype=np.uint8)
-    for row in reduced.collect():
+    for row in reduced.toLocalIterator():
         final |= np.frombuffer(row["bloom"], dtype=np.uint8)
     return final.tobytes(), m_bits, k
 

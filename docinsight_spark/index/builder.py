@@ -235,6 +235,7 @@ class IndexBuilder:
         # switches from a broadcast anti-join to a Bloom pre-gate + plain
         # anti-join (the seen side is never broadcast whole)
         self.broadcast_seen_max = broadcast_seen_max
+        self._gate_cache: list[DataFrame] = []
         fsio.makedirs(f"{self.dir}/manifests")
 
     @property
@@ -319,6 +320,9 @@ class IndexBuilder:
         ).parquet(f"{base}/docs")
         n_postings, _ = _footer_rows(f"{base}/postings")
         n_docs, _ = _footer_rows(f"{base}/docs")
+        for cached in self._gate_cache:  # both gate outputs are written now
+            cached.unpersist()
+        self._gate_cache.clear()
         self._commit(unit, run_id=run_id, postings=n_postings, docs=n_docs)
 
     def _gate_new_docs(
@@ -341,13 +345,25 @@ class IndexBuilder:
         """
         if seen_total <= self.broadcast_seen_max:
             return docs.join(F.broadcast(seen), "docID", "left_anti")
+        from pyspark import StorageLevel
+
         from docinsight_spark.index.bloom import build_bloom, might_contain
 
         bits, m_bits, k = build_bloom(seen, "docID", seen_total)
         probe = might_contain(self.spark.sparkContext, bits, m_bits, k)
-        definite_new = docs.filter(~probe(F.col("docID")))
-        survivors = docs.filter(probe(F.col("docID"))).join(
-            seen, "docID", "left_anti"
+        # evaluate the probe ONCE on a persisted frame: filtering docs by
+        # probe and ¬probe separately would recompute the upstream scan +
+        # dropDuplicates shuffle twice — and with a nondeterministic docID
+        # the two branches could disagree (drop/duplicate rows)
+        flagged = docs.withColumn("_maybe_seen", probe(F.col("docID"))).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        self._gate_cache.append(flagged)
+        definite_new = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
+        survivors = (
+            flagged.filter(F.col("_maybe_seen"))
+            .drop("_maybe_seen")
+            .join(seen, "docID", "left_anti")
         )
         return definite_new.unionByName(survivors)
 
@@ -370,7 +386,15 @@ class IndexBuilder:
             raise ValueError("no runs to merge")
         if self._done("merged-final"):
             final = [m for m in self.manifests() if m["unit"] == "merged-final"][0]
-            covered = sorted(final.get("runs", runs))
+            if "runs" not in final:
+                # a manifest that predates run tracking can't prove it
+                # covers the current run set — that's exactly the silent-
+                # stale-index case this guard exists to catch
+                raise ValueError(
+                    "merged-final manifest records no run set; call "
+                    "streaming.incremental.refresh() to re-merge"
+                )
+            covered = sorted(final["runs"])
             if covered != runs:
                 raise ValueError(
                     f"index was finalized over runs {covered} but runs {runs} now "
@@ -458,6 +482,18 @@ class IndexBuilder:
         )
         stats_row = obs.get
         n_docs, avgdl = int(stats_row["n"]), float(stats_row["avgdl"] or 0.0)
+        # observed metrics can over-count under stage resubmission /
+        # speculative execution; the parquet footers of the just-written
+        # doc_stats are exact and free — cross-check, and recompute with
+        # an exact read-back aggregation on mismatch (rare path).
+        footer_n, _ = _footer_rows(f"{self.dir}/doc_stats")
+        if footer_n != n_docs:
+            row = (
+                self.spark.read.parquet(f"{self.dir}/doc_stats")
+                .agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+                .first()
+            )
+            n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
         meta = {
             "n_docs": n_docs,
             "avgdl": avgdl,

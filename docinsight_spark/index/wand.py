@@ -271,8 +271,14 @@ def _query_term_map(
         else:
             import re as _re
 
+            # replicate Spark/Java regex semantics exactly: Java's \s is
+            # the ASCII class [ \t\n\x0B\f\r], while Python's \s is
+            # Unicode-aware — a query containing e.g. NBSP must tokenize
+            # the same on the driver path, the distributed path, AND the
+            # index build (all Java-regex) or results differ by batch size
+            _ws = _re.compile("[ \t\n\x0b\f\r]+")
             toks = [
-                [t for t in _re.split(r"\s+", (r["query_text"] or "").lower()) if t]
+                [t for t in _ws.split((r["query_text"] or "").lower()) if t]
                 for r in head
             ]
         qmap: dict[int, list[str]] = {}
@@ -301,6 +307,14 @@ def _query_term_map(
     return {qid: sorted(set(ts)) for qid, ts in qmap.items() if ts}
 
 
+# Above this many queries in one batch, the query map is split into
+# waves: the full-map broadcast otherwise bloats (O(batch) per executor)
+# and _score_shard's per-shard loop over EVERY query makes per-task work
+# O(shards × batch).  Each wave prunes the segment scan to its own terms,
+# so per-task work is O(shards × wave) with a bounded broadcast.
+QUERY_CHUNK_SIZE = 10_000
+
+
 def wand_search(
     spark: SparkSession,
     index_dir: str,
@@ -311,10 +325,13 @@ def wand_search(
     _meta: dict | None = None,
     _tstats: DataFrame | None = None,
     driver_tokenize_max: int | None = None,
+    query_chunk_size: int | None = None,
 ) -> DataFrame:
     """(query_id, rank, docID, score) — fast path over the segment index."""
     if driver_tokenize_max is None:
         driver_tokenize_max = DRIVER_TOKENIZE_MAX
+    if query_chunk_size is None:
+        query_chunk_size = QUERY_CHUNK_SIZE
     meta = _meta or _load_meta(index_dir)
     if int(meta.get("version", 0)) < 3:
         raise ValueError(
@@ -324,8 +341,7 @@ def wand_search(
     if code_aware is None:
         code_aware = bool(meta.get("code_aware", True))
     qmap = _query_term_map(queries, code_aware, driver_tokenize_max)
-    all_terms = sorted({t for ts in qmap.values() for t in ts})
-    if not all_terms:
+    if not any(qmap.values()):
         return spark.createDataFrame(
             [], "query_id long, rank int, docID long, score double"
         )
@@ -339,6 +355,43 @@ def wand_search(
     tstats = _tstats if _tstats is not None else spark.read.parquet(
         f"{index_dir}/term_stats"
     )
+    qids = sorted(qmap)
+    waves = [
+        {qid: qmap[qid] for qid in qids[i : i + query_chunk_size]}
+        for i in range(0, len(qids), query_chunk_size)
+    ]
+    local = None
+    for wave in waves:
+        part = _wave_local_topk(
+            spark, base, tstats, wave, index_dir,
+            n_docs, avgdl, k1, b, k, n_shards,
+        )
+        local = part if local is None else local.unionByName(part)
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("docID"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "docID", "score")
+    )
+
+
+def _wave_local_topk(
+    spark: SparkSession,
+    base: DataFrame,
+    tstats: DataFrame,
+    qmap: dict[int, list[str]],
+    index_dir: str,
+    n_docs: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+    k: int,
+    n_shards: int,
+) -> DataFrame:
+    """Per-shard local top-k rows for one wave of queries (pre-merge)."""
+    all_terms = sorted({t for ts in qmap.values() for t in ts})
+    if not all_terms:
+        return spark.createDataFrame([], "query_id long, docID long, score double")
     if len(all_terms) <= 1024:
         # IN-list pushes to parquet row-group stats (segments are
         # term-sorted within each shard file)
@@ -421,12 +474,6 @@ def wand_search(
     # Hash repartition (not range): the kernel groups rows by shard key
     # itself, so co-location is all that matters — and range partitioning
     # would add a sampling job per search call (query fixed cost).
-    local = seg.repartition(n_shards, "doc_bucket", "doc_sub").mapInPandas(
+    return seg.repartition(n_shards, "doc_bucket", "doc_sub").mapInPandas(
         run, schema="query_id long, docID long, score double"
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("docID"))
-    return (
-        local.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "docID", "score")
     )

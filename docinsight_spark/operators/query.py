@@ -135,6 +135,7 @@ def search_rerank(
     k: int = DEFAULT_TOP_K,
     overfetch: int = 2,
     code_aware: bool = True,
+    rescore=None,
 ) -> DataFrame:
     """T7 two-stage retrieval: over-fetch ``overfetch·k`` candidates with
     a cheap first pass, exact-rescore the candidate set, re-rank, cut to
@@ -142,12 +143,16 @@ def search_rerank(
     the cross-encoder; here stage 2 is exact BM25 rescoring).
 
     The candidate cut bounds stage-2 cost: only ``queries × 2k`` rows
-    reach the rescore join regardless of corpus size."""
+    reach the rescore regardless of corpus size.  The default rescorer is
+    the same exact BM25 formula as stage 1, so its scores are REUSED —
+    one postings scan total, not a second full scan semi-joined back
+    (``tests/test_plans.py`` pins the single scan).  A custom ``rescore``
+    callable ((query_id, docID, score) → (query_id, docID, score))
+    plugs in a genuinely different stage-2 model, the cross-encoder
+    analog."""
     qt = query_terms(queries, code_aware=code_aware)
     stage1 = topk(bm25_scores(qt, postings, tstats, dstats, stats), k=overfetch * k)
-    cand = stage1.select("query_id", "docID")
-    rescored = (
-        bm25_scores(qt, postings, tstats, dstats, stats)
-        .join(cand, ["query_id", "docID"], "left_semi")
-    )
-    return topk(rescored, k=k)
+    cand = stage1.select("query_id", "docID", "score")
+    if rescore is not None:
+        cand = rescore(cand)
+    return topk(cand, k=k)

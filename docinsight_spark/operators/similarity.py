@@ -199,6 +199,122 @@ def embedding_near_duplicates(
 
 
 # ---------------------------------------------------------------------------
+# IVF with a FIXED seeded coarse quantizer (oracle-replayable flavor)
+# ---------------------------------------------------------------------------
+#
+# The KMeans-fitted IVF below gives better cells but its centroids are
+# not SQL-portable.  This variant uses seeded random *unit* centroids
+# (the same determinism trick as :func:`hyperplanes`): the Voronoi
+# assignment, the probe ranking, and the exact rescoring are the exact
+# IVF query machinery, and every constant can be embedded verbatim in
+# generated DuckDB SQL, so the driver contract hash-verifies the whole
+# path.  FAISS likewise accepts an arbitrary coarse quantizer.
+
+
+def ivf_seed_centroids(dim: int, k: int, seed: int = 4242) -> list[list[float]]:
+    """``k`` seeded unit vectors — a fixed, data-independent coarse
+    quantizer (deterministic across engines and cluster sizes)."""
+    rng = np.random.RandomState(seed)
+    c = rng.normal(size=(k, dim)).astype(np.float64)
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    return c.tolist()
+
+
+def _cent_dots(vec: Column, centroids: list[list[float]], decimals: int) -> Column:
+    """Array of rounded dot(vec, centroid_i) — raw vector on purpose:
+    positive scaling never changes an argmax/ranking against unit
+    centroids, so no corpus-side normalization (and no norm fold whose
+    summation order the oracle would have to replicate) is needed."""
+    return F.array(
+        *[
+            F.round(
+                _dot(vec, F.array(*[F.lit(float(x)) for x in c])), decimals
+            )
+            for c in centroids
+        ]
+    )
+
+
+def ivf_fixed_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    decimals: int = 7,
+) -> DataFrame:
+    """Add ``ivf_cluster``: the argmax-dot cell, ties to the smallest
+    centroid index.  Dots are rounded so Spark and the SQL oracle agree
+    bit-for-bit (both fold the array in index order; rounding absorbs
+    any residual last-ulp difference)."""
+    dots = _cent_dots(F.col(vec_col).cast("array<double>"), centroids, decimals)
+    cluster = (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+    return df.withColumn("ivf_cluster", cluster)
+
+
+def ivf_fixed_candidates(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    nprobe: int = 3,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    decimals: int = 7,
+) -> DataFrame:
+    """(query_id, vec_id, cosine): exact cosine inside the ``nprobe``
+    nearest cells per query.  Fully in-plan — the probe ranking is a
+    posexplode + window over the (tiny) query×centroid cross, never a
+    driver-side collect; the corpus is touched ~nprobe/k of a full scan
+    once stored partitioned by ``ivf_cluster``."""
+    assigned = ivf_fixed_assign(corpus, centroids, vec_col, decimals).select(
+        F.col(corpus_id).alias("vec_id"), F.col(vec_col).alias("cv"), "ivf_cluster"
+    )
+    qdots = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.posexplode(
+            _cent_dots(F.col(vec_col).cast("array<double>"), centroids, decimals)
+        ).alias("ivf_cluster", "pdot"),
+    )
+    pw = Window.partitionBy("query_id").orderBy(
+        F.col("pdot").desc(), F.col("ivf_cluster")
+    )
+    probes = (
+        qdots.withColumn("prn", F.row_number().over(pw))
+        .filter(F.col("prn") <= nprobe)
+        .select("query_id", "qv", "ivf_cluster")
+    )
+    # double-precision rescore (the oracle computes in DOUBLE[] too)
+    cu = F.col("cv").cast("array<double>")
+    qu = F.col("qv").cast("array<double>")
+    cand = assigned.join(F.broadcast(probes), "ivf_cluster").select(
+        "query_id",
+        "vec_id",
+        (
+            _dot(cu, qu) / (_norm(cu) * _norm(qu))
+        ).alias("cosine"),
+    )
+    return cand.dropDuplicates(["query_id", "vec_id"])
+
+
+def ivf_fixed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 3,
+    **kw,
+) -> DataFrame:
+    """Approximate top-k over the fixed-quantizer IVF layout."""
+    scored = ivf_fixed_candidates(corpus, queries, centroids, nprobe, **kw)
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
 # IVF: KMeans-partitioned ANN (the classic FAISS IVF layout, Spark-native)
 # ---------------------------------------------------------------------------
 

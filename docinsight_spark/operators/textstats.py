@@ -96,13 +96,18 @@ def doc_fingerprint(
     folded to one md5.  Two docs share a fingerprint iff their k lowest
     token hashes coincide (winnowing-style content signature; reference
     analog: content_hash, db/schema.sql:20)."""
+    from pyspark.sql import Window
+
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(simple_tokens_col(text_col)).alias("term")
     ).distinct()
     hashed = toks.select("id", F.md5("term").alias("th"))
-    mins = hashed.groupBy("id").agg(
-        F.concat_ws("|", F.slice(F.sort_array(F.collect_list("th")), 1, k)).alias(
-            "sketch"
-        )
+    # bounded min-k: rank inside a sort-based window (spills gracefully),
+    # keep k rows, THEN aggregate — never collect_list over the full
+    # distinct-token set (unbounded per-group memory on long documents)
+    w = Window.partitionBy("id").orderBy("th")
+    mink = hashed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    mins = mink.groupBy("id").agg(
+        F.concat_ws("|", F.sort_array(F.collect_list("th"))).alias("sketch")
     )
     return mins.select("id", F.md5("sketch").alias("fingerprint"))

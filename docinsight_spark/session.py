@@ -52,6 +52,12 @@ def get_spark(
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.sql.parquet.compression.codec", "zstd")
     )
+    # shuffle-spill scratch: honor $SPARK_LOCAL_SCRATCH (the benchmark
+    # points it at tmpfs so a contended shared disk doesn't poison
+    # measurements; a real cluster would use executor-local NVMe here)
+    scratch = os.environ.get("SPARK_LOCAL_SCRATCH")
+    if scratch:
+        builder = builder.config("spark.local.dir", scratch)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
