@@ -85,23 +85,51 @@ def _atomic_write_json(path: str, payload: dict) -> None:
     fsio.write_json_atomic(path, payload)
 
 
-def _footer_rows(path: str, per_dir_key: str | None = None) -> tuple[int, dict]:
+# Past this many files, driver-side footer reads (even threaded) are
+# minutes of wall time at DFS round-trip latency — fan the reads out as
+# a Spark job instead; the driver only receives one int per file.
+FOOTER_DRIVER_MAX = 4096
+
+
+def _footer_counts_distributed(spark: SparkSession, files: list[str]) -> list[int]:
+    """Per-file parquet footer row counts as a Spark job (executor-side
+    pyarrow reads, ~256 files per task); order matches ``files``."""
+    def part(it):
+        import pyarrow.parquet as pq
+
+        for f in it:
+            fs, _ = fsio.resolve(f)
+            yield (f, pq.read_metadata(f, filesystem=fs).num_rows)
+
+    slices = max(1, min(len(files) // 256 + 1, 512))
+    got = dict(spark.sparkContext.parallelize(files, slices).mapPartitions(part).collect())
+    return [got[f] for f in files]
+
+
+def _footer_rows(
+    path: str, per_dir_key: str | None = None, spark: SparkSession | None = None
+) -> tuple[int, dict]:
     """Dataset row count (and per-partition-dir counts) from parquet
-    footers — no Spark job.  DFS-safe: footers are read through the
-    path's filesystem (local, file://, s3://, hdfs://)."""
+    footers — no full-data Spark job.  DFS-safe: footers are read through
+    the path's filesystem (local, file://, s3://, hdfs://).  At high file
+    counts (``> FOOTER_DRIVER_MAX``, the 10^5-10^6-shard geometry) the
+    reads run as a Spark job when a session is provided."""
     import pyarrow.parquet as pq
 
     fs, _ = fsio.resolve(path)
     files = fsio.glob_parquet(path)
     total, per = 0, {}
-    # footer reads are tiny but latency-bound (driver-side, one round
-    # trip per file on a DFS / contended disk) — overlap them
-    from concurrent.futures import ThreadPoolExecutor
+    if spark is not None and len(files) > FOOTER_DRIVER_MAX:
+        counts = _footer_counts_distributed(spark, files)
+    else:
+        # footer reads are tiny but latency-bound (driver-side, one round
+        # trip per file on a DFS / contended disk) — overlap them
+        from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=min(32, max(len(files), 1))) as ex:
-        counts = list(ex.map(
-            lambda f: pq.read_metadata(f, filesystem=fs).num_rows, files
-        ))
+        with ThreadPoolExecutor(max_workers=min(32, max(len(files), 1))) as ex:
+            counts = list(ex.map(
+                lambda f: pq.read_metadata(f, filesystem=fs).num_rows, files
+            ))
     for f, n in zip(files, counts):
         total += n
         if per_dir_key:
@@ -112,32 +140,56 @@ def _footer_rows(path: str, per_dir_key: str | None = None) -> tuple[int, dict]:
     return total, per
 
 
-def _segment_lineage(path: str) -> dict:
+def _seg_footer_stats(md) -> tuple[int, int]:
+    """(rows, compressed payload bytes) from one parquet footer."""
+    pay = 0
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            if col.path_in_schema == "payload":
+                pay += col.total_compressed_size
+    return md.num_rows, pay
+
+
+def _segment_lineage(path: str, spark: SparkSession | None = None) -> dict:
     """Per-bucket segment counters from parquet footers: row counts and
-    the compressed size of the ``payload`` column — no Spark job."""
+    the compressed size of the ``payload`` column — no full-data Spark
+    job; past ``FOOTER_DRIVER_MAX`` files the footer reads themselves fan
+    out as a Spark job (the driver receives two ints per file)."""
     import pyarrow.parquet as pq
-    from concurrent.futures import ThreadPoolExecutor
 
     fs, _ = fsio.resolve(path)
     files = fsio.glob_parquet(path)
     per: dict[str, dict] = {}
     total_rows, total_bytes = 0, 0
-    with ThreadPoolExecutor(max_workers=min(32, max(len(files), 1))) as ex:
-        mds = list(ex.map(lambda f: pq.read_metadata(f, filesystem=fs), files))
-    for f, md in zip(files, mds):
+    if spark is not None and len(files) > FOOTER_DRIVER_MAX:
+        def part(it):
+            import pyarrow.parquet as pq
+
+            for f in it:
+                pfs, _ = fsio.resolve(f)
+                yield (f, _seg_footer_stats(pq.read_metadata(f, filesystem=pfs)))
+
+        slices = max(1, min(len(files) // 256 + 1, 512))
+        got = dict(
+            spark.sparkContext.parallelize(files, slices).mapPartitions(part).collect()
+        )
+        stats = [got[f] for f in files]
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(32, max(len(files), 1))) as ex:
+            stats = list(ex.map(
+                lambda f: _seg_footer_stats(pq.read_metadata(f, filesystem=fs)), files
+            ))
+    for f, (rows, pay) in zip(files, stats):
         part = [p for p in f.split("/") if p.startswith("doc_bucket=")]
         key = part[0].split("=", 1)[1] if part else "?"
-        pay = 0
-        for rg in range(md.num_row_groups):
-            g = md.row_group(rg)
-            for ci in range(g.num_columns):
-                col = g.column(ci)
-                if col.path_in_schema == "payload":
-                    pay += col.total_compressed_size
         d = per.setdefault(key, {"segments_built": 0, "bytes_compressed": 0})
-        d["segments_built"] += md.num_rows
+        d["segments_built"] += rows
         d["bytes_compressed"] += pay
-        total_rows += md.num_rows
+        total_rows += rows
         total_bytes += pay
     return {
         "segments_built": total_rows,
@@ -318,8 +370,8 @@ class IndexBuilder:
         docs.select("docID", "repo", "path", "commit", "lang", "content_sha").write.mode(
             "overwrite"
         ).parquet(f"{base}/docs")
-        n_postings, _ = _footer_rows(f"{base}/postings")
-        n_docs, _ = _footer_rows(f"{base}/docs")
+        n_postings, _ = _footer_rows(f"{base}/postings", spark=self.spark)
+        n_docs, _ = _footer_rows(f"{base}/docs", spark=self.spark)
         for cached in self._gate_cache:  # both gate outputs are written now
             cached.unpersist()
         self._gate_cache.clear()
@@ -434,7 +486,7 @@ class IndexBuilder:
             .partitionBy("doc_bucket")
             .parquet(f"{out}/postings")
         )
-        n, per_bucket = _footer_rows(f"{out}/postings", "doc_bucket")
+        n, per_bucket = _footer_rows(f"{out}/postings", "doc_bucket", spark=self.spark)
         self._commit(unit, inputs=grp, postings_merged=n,
                      postings_per_bucket=per_bucket)
 
@@ -486,7 +538,7 @@ class IndexBuilder:
         # speculative execution; the parquet footers of the just-written
         # doc_stats are exact and free — cross-check, and recompute with
         # an exact read-back aggregation on mismatch (rare path).
-        footer_n, _ = _footer_rows(f"{self.dir}/doc_stats")
+        footer_n, _ = _footer_rows(f"{self.dir}/doc_stats", spark=self.spark)
         if footer_n != n_docs:
             row = (
                 self.spark.read.parquet(f"{self.dir}/doc_stats")
@@ -611,8 +663,8 @@ class IndexBuilder:
         )
         # Per-partition lineage from parquet footers — counters without a
         # Spark job (segments built, postings merged, compressed bytes).
-        lineage = _segment_lineage(f"{self.dir}/segments")
-        n_postings, _ = _footer_rows(f"{merged_dir}/postings")
+        lineage = _segment_lineage(f"{self.dir}/segments", spark=self.spark)
+        n_postings, _ = _footer_rows(f"{merged_dir}/postings", spark=self.spark)
         lineage["postings_merged"] = n_postings
         _atomic_write_json(f"{self.dir}/lineage_segments.json", lineage)
         self._commit(

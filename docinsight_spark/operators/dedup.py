@@ -170,44 +170,68 @@ def minhash_near_duplicates(
 SIMHASH_BITS = 32
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, simhash) — tf-weighted 32-bit SimHash, portable hash basis.
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """(id, simhash) — tf-weighted SimHash, portable hash basis.
 
-    Term hash = first 8 hex chars of md5(term) → 32-bit int; bit j of
-    the doc hash = sign of Σ_term tf · (2·bit_j(h) − 1).  Pure column
-    algebra (a 32-way conditional sum), reproducible in ANSI SQL.
-    """
+    Term hash bits come from md5(term) hex: chars 1-8 give bits 0-31,
+    chars 9-16 give bits 32-63 (two 32-bit halves, so no 64-bit unsigned
+    overflows anywhere and the same construction replays in ANSI SQL).
+    Bit j of the doc hash = sign of Σ_term tf · (2·bit_j(h) − 1) — pure
+    column algebra, a ``bits``-way conditional sum.
+
+    ``bits=32`` (default) matches the driver-contract oracles; a 32-bit
+    sketch saturates around 10^12 documents (birthday collisions inside
+    Hamming balls), so pass ``bits=64`` at that scale."""
+    if bits not in (32, 64):
+        raise ValueError("simhash width must be 32 or 64")
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(simple_tokens_col(text_col)).alias("term")
     )
     tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    h = F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long")
-    tf = tf.withColumn("h", h)
+    tf = tf.withColumn(
+        "h", F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long")
+    )
+    if bits == 64:
+        tf = tf.withColumn(
+            "h2", F.conv(F.substring(F.md5("term"), 9, 8), 16, 10).cast("long")
+        )
+
+    def bit_of(j: int):
+        if j < 32:
+            return F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))
+        return F.shiftright(F.col("h2"), j - 32).bitwiseAND(F.lit(1))
+
     bit_sums = [
-        F.sum(
-            F.col("tf")
-            * (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1)
-        ).alias(f"s{j}")
-        for j in range(SIMHASH_BITS)
+        F.sum(F.col("tf") * (bit_of(j) * 2 - 1)).alias(f"s{j}") for j in range(bits)
     ]
     sums = tf.groupBy("id").agg(*bit_sums)
     sig = None
-    for j in range(SIMHASH_BITS):
-        term = F.when(F.col(f"s{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0))
+    for j in range(bits):
+        # shiftleft(1L, 63) is the sign bit; adding distinct powers of
+        # two never carries, so arithmetic sum == bitwise OR here
+        term = F.when(
+            F.col(f"s{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
+        ).otherwise(F.lit(0).cast("long"))
         sig = term if sig is None else sig + term
     return sums.select("id", sig.cast("long").alias("simhash"))
 
 
-def simhash_hamming_pairs(sig: DataFrame, max_distance: int = 3) -> DataFrame:
+def simhash_hamming_pairs(
+    sig: DataFrame, max_distance: int = 3, bits: int = SIMHASH_BITS
+) -> DataFrame:
     """(id_a, id_b, hamming) pairs within distance via 4-way block index.
 
-    Standard trick: split 32 bits into ``max_distance + 1`` blocks; any
-    pair within the distance agrees on ≥1 whole block → equi-join per
-    block, then verify exact Hamming distance (bit_count of xor)."""
+    Standard trick: split the ``bits`` sketch into ``max_distance + 1``
+    blocks; any pair within the distance agrees on ≥1 whole block →
+    equi-join per block, then verify exact Hamming distance
+    (bit_count of xor).  Unsigned shifts so the 64-bit sign bit never
+    smears into block keys."""
     n_blocks = max_distance + 1
-    width = SIMHASH_BITS // n_blocks
+    width = bits // n_blocks
     blocks = [
-        F.shiftright(F.col("simhash"), i * width)
+        F.shiftrightunsigned(F.col("simhash"), i * width)
         .bitwiseAND(F.lit((1 << width) - 1))
         .alias(f"b{i}")
         for i in range(n_blocks)

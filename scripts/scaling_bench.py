@@ -25,7 +25,17 @@ N_FILES = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
 LEVELS = [int(x) for x in os.environ.get("SCALING_LEVELS", "8,32").split(",")]
 
 CHILD = r"""
-import json, shutil, sys, tempfile, time
+import json, os, shutil, sys, tempfile, time
+
+# RAM-backed scratch (same rationale as bench.py): the sandbox's shared
+# disk shows IO contention that poisons wall times; tmpfs stands in for
+# the executor-local NVMe of a real cluster node.
+scratch = os.environ.get("BENCH_SCRATCH")
+if not scratch:
+    scratch = "/dev/shm" if os.access("/dev/shm", os.W_OK) else tempfile.gettempdir()
+os.environ.setdefault("SPARK_LOCAL_SCRATCH", os.path.join(scratch, "spark_local"))
+os.makedirs(os.environ["SPARK_LOCAL_SCRATCH"], exist_ok=True)
+
 from docinsight_spark.session import get_spark
 from docinsight_spark.corpus import make_corpus, make_queries
 from docinsight_spark.index.builder import IndexBuilder
@@ -33,8 +43,8 @@ from docinsight_spark.index.wand import wand_search
 
 cores = int(sys.argv[1]); n_files = int(sys.argv[2])
 spark = get_spark(app_name=f"scaling_{cores}", cores=cores)
-idx = tempfile.mkdtemp(prefix=f"scale_idx_{cores}_")
-cdir = tempfile.mkdtemp(prefix=f"scale_corpus_{cores}_")
+idx = tempfile.mkdtemp(prefix=f"scale_idx_{cores}_", dir=scratch)
+cdir = tempfile.mkdtemp(prefix=f"scale_corpus_{cores}_", dir=scratch)
 N_QUERIES = 200
 try:
     make_corpus(spark, n_files, partitions=cores * 2,

@@ -212,3 +212,76 @@ def test_ivf_sampled_fit_still_answers(spark, emb):
     assert (approx.groupby("query_id").size() == 5).all()
     a1 = approx[approx["rank"] == 1]
     assert (a1["query_id"].values == a1["vec_id"].values).all()  # self-hit
+
+
+def test_simhash_64bit_widths(near_dup_docs):
+    """VERDICT r2 item 10: both sketch widths pass the same invariants."""
+    sig64 = simhash(near_dup_docs, "id", "text", bits=64)
+    vals = {r.id: r.simhash for r in sig64.collect()}
+    assert vals[0] == vals[2]  # identical docs → identical sketch
+    pairs = simhash_hamming_pairs(sig64, max_distance=12, bits=64).toPandas()
+    d = {tuple(sorted((r.id_a, r.id_b))): r.hamming for r in pairs.itertuples()}
+    assert d.get((0, 2)) == 0
+    assert d.get((0, 3), 99) > 4  # unrelated doc stays far
+    # 64-bit sketch actually uses the upper half: some doc has a bit ≥ 32
+    assert any((v >> 32) & 0xFFFFFFFF for v in vals.values())
+    with pytest.raises(ValueError):
+        simhash(near_dup_docs, "id", "text", bits=48)
+
+
+def test_ivf_fixed_quantizer_matches_bruteforce_on_probed_cells(spark, emb):
+    """The oracle-replayable IVF flavor: nprobe=all cells ≡ exact top-k."""
+    from docinsight_spark.operators.similarity import (
+        ivf_fixed_topk,
+        ivf_seed_centroids,
+    )
+
+    cents = ivf_seed_centroids(64, 8, seed=4242)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(emb, q, k=5).toPandas()
+    full = ivf_fixed_topk(emb, q, cents, k=5, nprobe=8).toPandas()
+    a = exact.sort_values(["query_id", "rank"])[["query_id", "vec_id"]].values
+    b = full.sort_values(["query_id", "rank"])[["query_id", "vec_id"]].values
+    assert (a == b).all()  # probing every cell degenerates to brute force
+
+
+def test_text_featurizer_feeds_near_dup_end_to_end(spark):
+    """VERDICT r2 item 9: corpus → hashing-trick embedding → ANN near-dup
+    finds the planted near-duplicates from raw text."""
+    from docinsight_spark.operators.embedder import featurize_text
+
+    base = " ".join(f"tok{i}" for i in range(120))
+    rows = [(0, base), (1, base.replace("tok7", "tokX")), (2, base)]
+    rows += [
+        (i, " ".join(f"w{i}_{j}" for j in range(100))) for i in range(3, 12)
+    ]
+    docs = spark.createDataFrame(rows, "vec_id long, text string")
+    emb_df = featurize_text(docs, "text", dim=64)
+    # determinism across partitionings (cluster-size independence)
+    once = {r.vec_id: r.embedding for r in emb_df.collect()}
+    again = {
+        r.vec_id: r.embedding for r in featurize_text(docs.repartition(7), "text", dim=64).collect()
+    }
+    assert once == again
+    dups = embedding_near_duplicates(
+        emb_df, threshold=0.9, id_col="vec_id", n_planes=4, n_tables=4, dim=64
+    ).toPandas()
+    pairs = set(map(tuple, dups[["id_a", "id_b"]].values))
+    assert (0, 2) in pairs
+    assert (0, 1) in pairs or (1, 2) in pairs
+    assert all(a < 3 and b < 3 for a, b in pairs)  # no false positives
+
+
+def test_multimodal_auto_decoder(spark):
+    """decoder='auto' runs whether or not real codecs exist; 'real'
+    raises only when no codec library is importable."""
+    from docinsight_spark.operators.multimodal import probe_codecs
+
+    media = make_media_table(spark, n=12)
+    out = extract_features(media, decoder="auto").toPandas()
+    assert len(out) == 12 and out["feat"].notna().all()
+    if not any(probe_codecs().values()):
+        with pytest.raises(NotImplementedError):
+            extract_features(media, decoder="real").count()

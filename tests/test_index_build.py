@@ -235,3 +235,36 @@ def test_segment_files_partitioned_by_bucket(built_index):
     with open(f"{built_index.dir}/_meta.json") as fh:
         meta = json.load(fh)
     assert meta["n_docs"] == 200 and meta["n_buckets"] == 8
+
+
+def test_footer_counts_distributed_matches_threaded(spark, built_index, monkeypatch):
+    """Past FOOTER_DRIVER_MAX files, footer counters run as a Spark job;
+    both paths must agree exactly (and per-dir splits too)."""
+    import docinsight_spark.index.builder as bmod
+
+    path = f"{built_index.dir}/segments"
+    threaded_total, threaded_per = bmod._footer_rows(path, "doc_bucket")
+    monkeypatch.setattr(bmod, "FOOTER_DRIVER_MAX", 0)
+    dist_total, dist_per = bmod._footer_rows(path, "doc_bucket", spark=spark)
+    assert dist_total == threaded_total and dist_per == threaded_per
+    lin_threaded = bmod._segment_lineage(path)
+    lin_dist = bmod._segment_lineage(path, spark=spark)
+    assert lin_dist == lin_threaded
+
+
+def test_stale_merge_guard_missing_runs_key(spark, tmp_path, tiny_corpus):
+    """A merged-final manifest without a recorded run set cannot prove
+    coverage — merge_all must fail loudly instead of serving it."""
+    import json as _json
+
+    d = str(tmp_path / "staleidx")
+    b = IndexBuilder(spark, d, n_buckets=4)
+    b.build(tiny_corpus.limit(50), n_runs=1, fanin=2)
+    mpath = f"{d}/manifests/merged-final.json"
+    with open(mpath) as fh:
+        m = _json.load(fh)
+    del m["runs"]
+    with open(mpath, "w") as fh:
+        _json.dump(m, fh)
+    with pytest.raises(ValueError, match="no run set"):
+        b.merge_all()

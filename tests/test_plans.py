@@ -106,3 +106,36 @@ def test_scoring_plan_shape(spark, tiny_corpus):
     # the scoring expression is a column Project, not a UDF
     score_lines = [l for l in p.splitlines() if "ln(" in l]
     assert score_lines and all("Project" in l for l in score_lines), p
+
+
+def test_search_rerank_single_postings_scan(spark, tiny_corpus):
+    """T7 two-stage retrieval must reuse stage-1 scores: exactly ONE scan
+    of the postings relation in the whole plan (a second full scan
+    semi-joined to candidates doubled query cost)."""
+    import tempfile
+
+    from docinsight_spark.operators.query import search_rerank
+
+    docs = with_doc_id(tiny_corpus)
+    with tempfile.TemporaryDirectory() as d:
+        build_postings(docs).write.parquet(f"{d}/postings")
+        postings = spark.read.parquet(f"{d}/postings")
+        # materialize the stats dimensions so the only /postings scan left
+        # in the plan is the scoring one (in production they come from the
+        # index's doc_stats/term_stats parquet, not a re-derivation)
+        term_stats(postings).write.parquet(f"{d}/ts")
+        doc_stats(postings).write.parquet(f"{d}/ds")
+        ts = spark.read.parquet(f"{d}/ts")
+        ds = spark.read.parquet(f"{d}/ds")
+        st = corpus_stats(ds)
+        q = make_queries(spark, corpus_n=200, n_queries=3)
+        out = search_rerank(q, postings, ts, ds, st, k=3)
+        # formatted explain lists one "Location: ...[path]" detail line
+        # per parquet scan node — count the ones over /postings
+        p = plan_text(out)
+        scans = [
+            l for l in p.splitlines()
+            if "Location" in l and "/postings" in l
+        ]
+        assert len(scans) == 1, p
+        assert out.count() > 0

@@ -99,3 +99,20 @@ def test_huge_k_hot_term_scores_descend(spark, small_idx):
     assert len(res) <= 200
     s = res.sort_values("rank")["score"].values
     assert all(s[i] >= s[i + 1] - 1e-12 for i in range(len(s) - 1))
+
+
+def test_wand_query_batch_chunking_identical(spark, small_idx):
+    """Large batches split into bounded waves; results must be identical
+    to the single-wave path (per-shard work stays O(shards × wave))."""
+    from docinsight_spark.corpus import make_queries
+    from docinsight_spark.index.wand import wand_search
+
+    q = make_queries(spark, corpus_n=200, n_queries=24)
+    whole = sorted(map(tuple, wand_search(spark, small_idx, q, k=5).collect()))
+    waved = sorted(
+        map(
+            tuple,
+            wand_search(spark, small_idx, q, k=5, query_chunk_size=5).collect(),
+        )
+    )
+    assert whole == waved and len(whole) > 0
