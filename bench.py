@@ -58,24 +58,23 @@ def _scratch_base() -> str:
 
 
 def _loadavg() -> float:
-    try:
-        with open("/proc/loadavg") as f:
-            return float(f.read().split()[0])
-    except OSError:
-        return 0.0
+    from docinsight_spark.hostload import loadavg
+
+    return loadavg()
 
 
 def _load_gate(extras: dict) -> None:
-    """Block until the host is quiet (loadavg < LOAD_MAX) or the wait
-    budget runs out; record what happened either way."""
-    t0 = time.time()
-    load = _loadavg()
-    while load >= LOAD_MAX and time.time() - t0 < LOAD_WAIT_SEC:
-        time.sleep(15.0)
-        load = _loadavg()
+    """Block until the host is quiet (loadavg < LOAD_MAX AND hypervisor
+    steal < 2 % — see docinsight_spark/hostload.py for why loadavg alone
+    is blind to co-tenant VMs) or the wait budget runs out; record what
+    happened either way."""
+    from docinsight_spark.hostload import wait_quiet
+
+    got = wait_quiet(load_max=LOAD_MAX, wait_sec=LOAD_WAIT_SEC)
     extras["load_gate_max"] = LOAD_MAX
-    extras["load_gate_waited_sec"] = round(time.time() - t0, 1)
-    extras["load_gate_ok"] = load < LOAD_MAX
+    extras["load_gate_waited_sec"] = got["waited_sec"]
+    extras["load_gate_steal_pct"] = got["steal_pct"]
+    extras["load_gate_ok"] = got["quiet"]
 
 
 def main() -> None:

@@ -1249,3 +1249,106 @@ def wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= WAND_K)
         .select("query_id", "rank", "doc_id", "score")
     )
+
+
+# ---------------------------------------------------------------------------
+# Text → embedding featurizer under the oracle gate (round 3).  The
+# production featurizer (operators/embedder.featurize_text) is a
+# shuffle-free crc32 mapInPandas kernel; this entry runs the same
+# feature-hashing construction on an md5 basis in pure column algebra
+# (operators/embedder.hashed_features) so DuckDB replays it exactly:
+# bucket = hash % dim (low bits), sign = bit 16, feature = L2-normalized
+# signed tf sum, densified to every (doc, bucket) pair.
+# ---------------------------------------------------------------------------
+
+_FEAT_DIM = 16
+
+
+@_register(
+    "text_embed_features",
+    f"""
+WITH {_SQL_TOKS},
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term),
+hv AS (
+  SELECT doc_id, tf,
+         CAST('0x' || substr(md5(term), 1, 8) AS BIGINT) AS h
+  FROM tf
+),
+sums AS (
+  SELECT doc_id, (h % {_FEAT_DIM}) AS j,
+         sum(tf * (((h // 65536) % 2) * 2 - 1))::DOUBLE AS s
+  FROM hv GROUP BY 1, 2
+),
+grid AS (
+  SELECT doc_id, unnest(generate_series(0, {_FEAT_DIM - 1}))::BIGINT AS j
+  FROM (SELECT DISTINCT doc_id FROM documents)
+),
+dense AS (
+  SELECT g.doc_id, g.j, coalesce(s.s, 0.0) AS s
+  FROM grid g LEFT JOIN sums s ON g.doc_id = s.doc_id AND g.j = s.j
+),
+normed AS (
+  SELECT doc_id, j, s,
+         sqrt(sum(s * s) OVER (PARTITION BY doc_id)) AS nrm
+  FROM dense
+)
+SELECT doc_id, j,
+       round(CASE WHEN nrm > 0 THEN s / nrm ELSE 0.0 END, 4) AS feat
+FROM normed
+""",
+)
+def text_embed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing text embedding (Weinberger et al. ICML'09), long
+    format — the SBERT-role featurizer under the full oracle gate.
+    Reference analog: ``/root/reference/embeddings/embedder.py:57-97``
+    (content in, unit vector out)."""
+    from docinsight_spark.operators.embedder import hashed_features
+
+    return hashed_features(
+        _docs(spark, sf_dir), "doc_id", "text", dim=_FEAT_DIM
+    ).withColumnRenamed("id", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# T7 two-stage retrieval (over-fetch → rescore → re-rank) under the
+# oracle gate (round 3).  The default stage-2 model is exact BM25, so
+# the oracle is the plain BM25 top-k SQL; the rescore hook rounds to
+# 4 dp so the final re-rank happens on rounded scores (driver parity
+# rule), and overfetch=3 makes rounding-induced promotion across the
+# candidate cut impossible at sf0.01 score spreads (same reasoning as
+# wand_topk's over-retrieve).
+# ---------------------------------------------------------------------------
+
+_RERANK_K = 10
+
+
+@_register(
+    "rerank_topk", _bm25_oracle_sql(BM25_QUERY_TERMS, _RERANK_K)
+)
+def rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval through the engine's search_rerank operator:
+    stage 1 over-fetches 3k candidates, stage 2 re-ranks the rounded
+    scores, cut to k (reference analog:
+    ``/root/reference/retrieval/retrieval.py:253-268``)."""
+    from docinsight_spark.operators.postings import corpus_stats
+    from docinsight_spark.operators.query import search_rerank
+
+    postings = postings_tf(spark, sf_dir).withColumnRenamed("doc_id", "docID").cache()
+    dstats = postings.groupBy("docID").agg(F.sum("tf").alias("dl"))
+    tstats = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = corpus_stats(dstats)
+    qtexts = {}
+    for qid, t in BM25_QUERY_TERMS:
+        qtexts.setdefault(qid, []).append(t)
+    queries = spark.createDataFrame(
+        [(qid, " ".join(ts)) for qid, ts in sorted(qtexts.items())],
+        "query_id long, query_text string",
+    )
+    out = search_rerank(
+        queries, postings, tstats, dstats, stats,
+        k=_RERANK_K, overfetch=3, code_aware=False,
+        rescore=lambda cand: cand.withColumn("score", F.round("score", 4)),
+    )
+    return out.select(
+        "query_id", "rank", F.col("docID").alias("doc_id"), "score"
+    )

@@ -31,6 +31,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 # Java-regex \s parity (ASCII class) with the engine's whitespace
 # tokenizer — see functions/tokenizer.simple_tokens_col.
@@ -61,6 +62,53 @@ def _embed_batch(texts: pd.Series, dim: int, seed: int) -> list[list[float]]:
             vec /= n
         out.append([float(x) for x in vec])
     return out
+
+
+def hashed_features(
+    df: DataFrame, id_col: str, text_col: str, dim: int = 16
+) -> DataFrame:
+    """(id, j, feat) — the same feature-hashing construction as
+    :func:`featurize_text` in **pure column algebra on an md5 hash
+    basis**, long format: one row per (document, bucket j ∈ [0, dim)),
+    ``feat`` = L2-normalized signed tf sum, rounded to 4 dp.
+
+    This is the oracle-portable flavor (md5 hex → bucket/sign replays
+    exactly in ANSI SQL, the ``simhash`` trick); the production path is
+    the shuffle-free crc32 ``mapInPandas`` kernel above.  Bucket = low
+    bits of the 32-bit hash, sign = bit 16 — disjoint bit ranges, so
+    bucket and sign are independent.  All sums are integer-valued
+    (exact in double on any engine) and the L2 norm is the square root
+    of an exact integer, so normalized values agree bit-for-bit across
+    engines before the final rounding."""
+    from pyspark.sql import Window
+
+    from docinsight_spark.functions.tokenizer import simple_tokens_col
+
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(simple_tokens_col(text_col)).alias("term")
+    )
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    h = F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long")
+    sums = (
+        tf.withColumn("j", (h % dim).cast("long"))
+        .withColumn("sgn", F.shiftright(h, 16).bitwiseAND(F.lit(1)) * 2 - 1)
+        .groupBy("id", "j")
+        .agg(F.sum(F.col("tf") * F.col("sgn")).cast("double").alias("s"))
+    )
+    # densify to every (id, j) pair: a bucket whose signs cancel to 0 and
+    # a bucket no token hashed into must both appear (as 0.0), or the two
+    # engines would disagree on which zero rows exist
+    grid = (
+        df.select(F.col(id_col).alias("id"))
+        .distinct()
+        .withColumn(
+            "j", F.explode(F.array(*[F.lit(i).cast("long") for i in range(dim)]))
+        )
+    )
+    dense = grid.join(sums, ["id", "j"], "left").na.fill({"s": 0.0})
+    norm = F.sqrt(F.sum(F.col("s") * F.col("s")).over(Window.partitionBy("id")))
+    feat = F.when(norm > 0, F.col("s") / norm).otherwise(F.lit(0.0))
+    return dense.select("id", "j", F.round(feat, 4).alias("feat"))
 
 
 def featurize_text(

@@ -81,6 +81,15 @@ def run_level(cores: int) -> dict:
     env["SPARK_DRIVER_MEM"] = f"{min(2 * cores, 48)}g"
     best = None
     for rep in range(REPEATS):
+        # Gate EVERY repeat on host quiescence (loadavg AND hypervisor
+        # steal): a busy physical host makes wide legs pathologically
+        # slow (lock-holder preemption — see hostload.py), which once
+        # produced local[32] slower than local[8] on this very script.
+        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        from docinsight_spark.hostload import wait_quiet
+
+        gate = wait_quiet()
+        print(f"# level {cores} rep {rep}: gate {gate}", file=sys.stderr)
         out = subprocess.run(
             [sys.executable, "-c", CHILD, str(cores), str(N_FILES)],
             capture_output=True, text=True, env=env, timeout=3600,
@@ -103,16 +112,15 @@ def run_level(cores: int) -> dict:
 
 def main() -> None:
     results = {c: run_level(c) for c in LEVELS}
-    lo, hi = results[LEVELS[0]], results[LEVELS[1]]
-    ratio = LEVELS[1] / LEVELS[0]
-    eff_build = (hi["files_per_sec"] / lo["files_per_sec"]) / ratio
-    eff_query = (hi["qps"] / lo["qps"]) / ratio
-    print(json.dumps({
-        "n_files": N_FILES,
-        "levels": results,
-        "build_scaling_efficiency": round(eff_build, 3),
-        "query_scaling_efficiency": round(eff_query, 3),
-    }, indent=1))
+    out = {"n_files": N_FILES, "levels": results}
+    if len(LEVELS) >= 2:
+        lo, hi = results[LEVELS[0]], results[LEVELS[-1]]
+        ratio = LEVELS[-1] / LEVELS[0]
+        out["build_scaling_efficiency"] = round(
+            (hi["files_per_sec"] / lo["files_per_sec"]) / ratio, 3
+        )
+        out["query_scaling_efficiency"] = round((hi["qps"] / lo["qps"]) / ratio, 3)
+    print(json.dumps(out, indent=1))
 
 
 if __name__ == "__main__":

@@ -23,6 +23,8 @@ import tempfile
 import time
 import urllib.request
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 N_FILES = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
 HOT_FRACTION = 0.9
 
@@ -77,6 +79,10 @@ def task_summaries(spark) -> list[dict]:
 
 
 def main() -> None:
+    from docinsight_spark.hostload import wait_quiet
+
+    gate = wait_quiet()
+    print(f"# gate {gate}", file=sys.stderr)
     scratch = _scratch()
     os.environ.setdefault(
         "SPARK_LOCAL_SCRATCH", os.path.join(scratch, "spark_local")
