@@ -93,23 +93,52 @@ def main() -> None:
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     timings: dict[str, float] = {}
     stage_load: dict[str, float] = {}
+    stage_steal: dict[str, float] = {}
     extras: dict = {}
     _load_gate(extras)
     extras["loadavg_start"] = _loadavg()
 
+    from docinsight_spark.hostload import _read_stat
+
+    def _steal_during(fn):
+        """(result, wall_sec, steal_fraction) for one call — steal is
+        measured across exactly the call's wall interval."""
+        a = _read_stat()
+        t0 = time.time()
+        out = fn()
+        dt = time.time() - t0
+        b = _read_stat()
+        tot = sum(y - x for x, y in zip(a, b))
+        steal = (b[7] - a[7]) / tot if tot > 0 and len(b) > 7 else 0.0
+        return out, dt, steal
+
+    # a stage attempt whose in-run steal exceeds this is suspect: allow
+    # extra attempts (bounded) so the recorded best is a clean one when
+    # the host permits it at all
+    STEAL_RETRY_PCT = float(os.environ.get("BENCH_STEAL_RETRY_PCT", "1.0"))
+    MAX_ATTEMPTS = max(REPEATS, int(os.environ.get("BENCH_MAX_ATTEMPTS", "4")))
+
     def bench(name, fn, repeats=REPEATS):
-        """Run ``fn`` ``repeats`` times; record the best wall time and the
-        loadavg observed just before the winning run."""
-        best, best_load = None, None
-        for _ in range(repeats):
+        """Run ``fn`` at least ``repeats`` times; record the best wall
+        time, the loadavg before the winning run, and the hypervisor
+        steal observed DURING it (co-tenant CPU theft mid-stage is the
+        noise source a pre-run gate cannot see).  If every attempt so
+        far was steal-contaminated, keep trying up to MAX_ATTEMPTS."""
+        best, best_load, best_steal, result = None, None, None, None
+        attempts = 0
+        while attempts < repeats or (
+            best_steal is not None
+            and best_steal * 100 > STEAL_RETRY_PCT
+            and attempts < MAX_ATTEMPTS
+        ):
+            attempts += 1
             load = _loadavg()
-            t0 = time.time()
-            out = fn()
-            dt = time.time() - t0
+            out, dt, steal = _steal_during(fn)
             if best is None or dt < best:
-                best, best_load, result = dt, load, out
+                best, best_load, best_steal, result = dt, load, steal, out
         timings[name] = round(best, 3)
         stage_load[name] = best_load
+        stage_steal[name] = round(best_steal * 100, 2)
         return result
 
     idx_dir = tempfile.mkdtemp(prefix="bench_idx_", dir=scratch)
@@ -207,6 +236,7 @@ def main() -> None:
     extras["loadavg_end"] = _loadavg()
     extras["repeats"] = REPEATS
     extras["stage_loadavg"] = stage_load
+    extras["stage_steal_pct"] = stage_steal
     total = round(sum(v for k, v in timings.items() if k != "datagen"), 3)
     out = {
         "metric": "headline-suite wall time (index build + BM25 WAND/oracle "

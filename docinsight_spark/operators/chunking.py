@@ -46,11 +46,22 @@ def sliding_window_chunks(
     window_chars: int = CHUNK_SIZE_TOKENS * CHARS_PER_TOKEN,
     overlap_chars: int = CHUNK_OVERLAP * CHARS_PER_TOKEN,
     max_chunks: int = MAX_CHUNKS_PER_DOC,
+    snap_to_words: bool = False,
+    snap_max_chars: int = 32,
 ) -> DataFrame:
     """(id, ordinal, chunk) — fixed char windows, declarative (C2/P7).
 
     Window starts: 1, 1+step, 1+2·step … with step = window − overlap;
-    capped at ``max_chunks`` (the reference's backpressure cap)."""
+    capped at ``max_chunks`` (the reference's backpressure cap).
+
+    ``snap_to_words=True`` mirrors the reference's word-boundary snap
+    (``/root/reference/ingestion/pipeline_ingest.py:143-170``): a window
+    that ends mid-word is extended forward to the word's end (up to
+    ``snap_max_chars``) so no word is split across a chunk boundary.
+    Window STARTS stay fixed, so the overlap region — and therefore
+    chunk count and ordinals — are identical in both modes.  Default
+    off: the exact fixed window is the SQL-parity flavor the DuckDB
+    oracle replays (``chunk_sliding`` contract entry)."""
     step = window_chars - overlap_chars
     starts = F.sequence(
         F.lit(1),
@@ -65,8 +76,17 @@ def sliding_window_chunks(
         F.posexplode(starts).alias("ordinal", "start"),
         F.col(text_col).alias("_t"),
     )
+    chunk = F.substring(F.col("_t"), F.col("start"), window_chars)
+    if snap_to_words:
+        # the run of non-whitespace immediately after the window is the
+        # tail of a word the fixed cut would have split; append it
+        # (still pure column algebra — no UDF)
+        tail = F.substring(
+            F.col("_t"), F.col("start") + window_chars, snap_max_chars
+        )
+        chunk = F.concat(chunk, F.regexp_extract(tail, r"^[^ \t\n\x0B\f\r]*", 0))
     return (
-        out.withColumn("chunk", F.substring(F.col("_t"), F.col("start"), window_chars))
+        out.withColumn("chunk", chunk)
         .filter(F.length("chunk") > 0)
         .select("id", "ordinal", "start", "chunk")
     )

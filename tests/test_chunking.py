@@ -24,6 +24,26 @@ def test_sliding_window_shapes(spark):
     assert len(out[out["id"] == 1]) == 1
 
 
+def test_sliding_window_word_snap(spark):
+    """snap_to_words extends a mid-word cut to the word's end; starts,
+    ordinals and chunk count stay identical to the exact-window mode."""
+    words = " ".join(["alpha", "bravo", "charlie", "deltaecho"] * 60)
+    docs = spark.createDataFrame([(0, words)], "doc_id long, text string")
+    exact = sliding_window_chunks(
+        docs, "doc_id", "text", window_chars=97, overlap_chars=13
+    ).toPandas().sort_values("ordinal")
+    snapped = sliding_window_chunks(
+        docs, "doc_id", "text", window_chars=97, overlap_chars=13,
+        snap_to_words=True,
+    ).toPandas().sort_values("ordinal")
+    assert exact["start"].tolist() == snapped["start"].tolist()
+    vocab = {"alpha", "bravo", "charlie", "deltaecho"}
+    for c in snapped["chunk"]:
+        assert c.split()[-1] in vocab, c[-30:]  # never ends mid-word
+    for e, s in zip(exact["chunk"], snapped["chunk"]):
+        assert s.startswith(e)  # snap only extends, never truncates
+
+
 def test_sentence_pack_overlap_and_cap(spark):
     text = ". ".join(f"sentence number {i} with some words" for i in range(40)) + "."
     docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
