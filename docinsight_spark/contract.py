@@ -1264,10 +1264,11 @@ def wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FEAT_DIM = 16
 
 
-@_register(
-    "text_embed_features",
-    f"""
-WITH {_SQL_TOKS},
+def _feat_sql_core(dim: int) -> str:
+    """CTE chain ending in ``feats(doc_id, j, feat)`` — the md5
+    feature-hashing embedding of every document, 4-dp rounded,
+    replaying :func:`docinsight_spark.operators.embedder.hashed_features`."""
+    return f"""{_SQL_TOKS},
 tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term),
 hv AS (
   SELECT doc_id, tf,
@@ -1275,12 +1276,12 @@ hv AS (
   FROM tf
 ),
 sums AS (
-  SELECT doc_id, (h % {_FEAT_DIM}) AS j,
+  SELECT doc_id, (h % {dim}) AS j,
          sum(tf * (((h // 65536) % 2) * 2 - 1))::DOUBLE AS s
   FROM hv GROUP BY 1, 2
 ),
 grid AS (
-  SELECT doc_id, unnest(generate_series(0, {_FEAT_DIM - 1}))::BIGINT AS j
+  SELECT doc_id, unnest(generate_series(0, {dim - 1}))::BIGINT AS j
   FROM (SELECT DISTINCT doc_id FROM documents)
 ),
 dense AS (
@@ -1291,11 +1292,17 @@ normed AS (
   SELECT doc_id, j, s,
          sqrt(sum(s * s) OVER (PARTITION BY doc_id)) AS nrm
   FROM dense
-)
-SELECT doc_id, j,
-       round(CASE WHEN nrm > 0 THEN s / nrm ELSE 0.0 END, 4) AS feat
-FROM normed
-""",
+),
+feats AS (
+  SELECT doc_id, j,
+         round(CASE WHEN nrm > 0 THEN s / nrm ELSE 0.0 END, 4) AS feat
+  FROM normed
+)"""
+
+
+@_register(
+    "text_embed_features",
+    f"WITH {_feat_sql_core(_FEAT_DIM)} SELECT doc_id, j, feat FROM feats",
 )
 def text_embed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashing text embedding (Weinberger et al. ICML'09), long
@@ -1351,4 +1358,96 @@ def rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "query_id", "rank", F.col("docID").alias("doc_id"), "score"
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end LLM-pipeline showcase under the oracle gate (round 3):
+# raw text → feature-hashing embedding (md5 column algebra) → hyperplane
+# LSH buckets → candidate self-join → exact cosine ≥ threshold.  The
+# documents table carries ~25 planted near-duplicate pairs; both engines
+# use the same seeded hyperplane literals, so bucket membership — and
+# therefore any LSH recall misses — replay identically.  The operator
+# over-retrieves at a lower threshold and the entry filters on the
+# 4-dp-ROUNDED cosine, so the threshold boundary cannot flip between
+# engines (round-before-compare, the driver parity rule).
+# ---------------------------------------------------------------------------
+
+_NEARDUP_DIM = 64
+_NEARDUP_PLANES = 4
+_NEARDUP_TABLES = 4
+# 0.95 isolates exactly the ~25 planted near-dup pairs at sf0.01
+# (0.9 admits 102 vocabulary-similarity pairs, 0.8 admits ~6.6k)
+_NEARDUP_THRESH = 0.95
+
+
+def _neardup_sql() -> str:
+    from docinsight_spark.operators.similarity import hyperplanes
+
+    rows = []
+    for t in range(_NEARDUP_TABLES):
+        for i, p in enumerate(
+            hyperplanes(_NEARDUP_DIM, _NEARDUP_PLANES, seed=77 + 1000 * t)
+        ):
+            lit = ", ".join(repr(float(x)) for x in p)
+            rows.append(f"({t}, {1 << i}, [{lit}]::DOUBLE[])")
+    planes_sql = ", ".join(rows)
+    return f"""
+WITH {_feat_sql_core(_NEARDUP_DIM)},
+vecs AS (
+  SELECT doc_id, list(feat ORDER BY j) AS v FROM feats GROUP BY doc_id
+),
+planes(t, po, w) AS (VALUES {planes_sql}),
+buckets AS (
+  SELECT v.doc_id, p.t,
+         sum(CASE WHEN list_dot_product(v.v, p.w) >= 0
+                  THEN p.po ELSE 0 END)::INT AS bkt
+  FROM vecs v CROSS JOIN planes p GROUP BY v.doc_id, p.t
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b USING (t, bkt)
+  WHERE a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT c.id_a, c.id_b,
+         round(
+           list_dot_product(va.v, vb.v)
+           / (sqrt(list_dot_product(va.v, va.v))
+              * sqrt(list_dot_product(vb.v, vb.v))), 4) AS cosine
+  FROM cand c
+  JOIN vecs va ON va.doc_id = c.id_a
+  JOIN vecs vb ON vb.doc_id = c.id_b
+)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {_NEARDUP_THRESH}
+"""
+
+
+@_register("text_neardup_lsh", _neardup_sql())
+def text_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data near-dup sweep from raw text: featurize →
+    LSH-bucketed self-join → exact cosine filter.  Reference analog:
+    the SBERT embed + FAISS search loop
+    (``/root/reference/embeddings/embedder.py:57-97`` +
+    ``index/faiss_index.py:162-199``) applied to dedup."""
+    from docinsight_spark.operators.embedder import hashed_features
+    from docinsight_spark.operators.similarity import embedding_near_duplicates
+
+    feats = hashed_features(_docs(spark, sf_dir), "doc_id", "text", dim=_NEARDUP_DIM)
+    vecs = feats.groupBy("id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "feat"))),
+            lambda s: s["feat"],
+        ).alias("embedding")
+    )
+    # over-retrieve below the published threshold, then filter on the
+    # ROUNDED cosine so the boundary matches the SQL oracle exactly
+    dups = embedding_near_duplicates(
+        vecs, threshold=_NEARDUP_THRESH - 0.05, id_col="id",
+        vec_col="embedding", n_planes=_NEARDUP_PLANES,
+        n_tables=_NEARDUP_TABLES, dim=_NEARDUP_DIM, max_bucket=10**9,
+    )
+    return (
+        dups.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+        .filter(F.col("cosine") >= _NEARDUP_THRESH)
     )
