@@ -108,10 +108,10 @@ def tokenize_code_pandas(content: pd.Series, lang: pd.Series | None = None) -> p
             )
     s = masked.str.replace(_CAMEL_2, r"\1 \2", regex=True)
     s = s.str.replace(_CAMEL_1, r"\1 \2", regex=True)
-    s = s.str.replace(_NON_WORD, " ", regex=True).str.lower().str.strip()
-    return s.str.split(r"\s+", regex=True).map(
-        lambda toks: [t for t in toks if t] if isinstance(toks, list) else []
-    )
+    s = s.str.replace(_NON_WORD, " ", regex=True).str.lower()
+    # findall of non-space runs ≡ split-on-ws minus empties, in one
+    # vectorized pass (no per-row Python filter)
+    return s.str.findall(r"\S+")
 
 
 @F.pandas_udf(T.ArrayType(T.StringType()))

@@ -366,7 +366,13 @@ class IndexBuilder:
 
         base = f"{self.dir}/runs/{run_id}"
         postings = self._sharded(build_postings(docs, code_aware=self.code_aware))
-        postings.write.mode("overwrite").parquet(f"{base}/postings")
+        # run postings are write-once-read-once intermediates (consumed by
+        # the next merge wave, then dead): cheap snappy beats the session
+        # zstd here — encode CPU was the hottest JVM stage of the build.
+        # Long-lived artifacts (segments, docs, stats) keep zstd.
+        postings.write.mode("overwrite").option("compression", "snappy").parquet(
+            f"{base}/postings"
+        )
         docs.select("docID", "repo", "path", "commit", "lang", "content_sha").write.mode(
             "overwrite"
         ).parquet(f"{base}/docs")
@@ -483,6 +489,9 @@ class IndexBuilder:
             postings.repartitionByRange(self.n_shards, "doc_bucket", "doc_sub")
             .sortWithinPartitions("doc_bucket", "doc_sub", "term", "docID")
             .write.mode("overwrite")
+            # merge-wave outputs are intermediates too (read once by the
+            # next wave or by finalize) — snappy, same rationale as runs
+            .option("compression", "snappy")
             .partitionBy("doc_bucket")
             .parquet(f"{out}/postings")
         )

@@ -134,7 +134,12 @@ def run_level(cores: int) -> dict:
             raise RuntimeError(
                 f"level {cores} failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}"
             )
-        contaminated = got.get("steal_mean_pct", 0.0) > STEAL_REJECT_PCT
+        # reject on mean OR burst max: a 10% steal burst landing in one
+        # write phase wrecks a wide rep even when the run mean stays low
+        contaminated = (
+            got.get("steal_mean_pct", 0.0) > STEAL_REJECT_PCT
+            or got.get("steal_max_pct", 0.0) > 5 * STEAL_REJECT_PCT
+        )
         got["in_run_contaminated"] = contaminated
         print(f"# level {cores} try {tries}: {got}", file=sys.stderr)
         if not contaminated:
