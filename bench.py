@@ -119,23 +119,25 @@ def main() -> None:
     MAX_ATTEMPTS = max(REPEATS, int(os.environ.get("BENCH_MAX_ATTEMPTS", "4")))
 
     def bench(name, fn, repeats=REPEATS):
-        """Run ``fn`` at least ``repeats`` times; record the best wall
-        time, the loadavg before the winning run, and the hypervisor
-        steal observed DURING it (co-tenant CPU theft mid-stage is the
-        noise source a pre-run gate cannot see).  If every attempt so
-        far was steal-contaminated, keep trying up to MAX_ATTEMPTS."""
-        best, best_load, best_steal, result = None, None, None, None
-        attempts = 0
-        while attempts < repeats or (
-            best_steal is not None
-            and best_steal * 100 > STEAL_RETRY_PCT
-            and attempts < MAX_ATTEMPTS
+        """Run ``fn`` at least ``repeats`` times; record the fastest
+        CLEAN attempt (in-run steal ≤ STEAL_RETRY_PCT — co-tenant CPU
+        theft mid-stage is the noise source a pre-run gate cannot see),
+        falling back to the overall fastest only when no clean attempt
+        exists.  Mirrors scaling_bench.run_level(): a clean-but-slower
+        rep beats a faster contaminated one.  If every attempt so far
+        was contaminated, keep trying up to MAX_ATTEMPTS."""
+        attempts: list[tuple[float, float, float, object]] = []  # (dt, load, steal, out)
+        while len(attempts) < repeats or (
+            not any(a[2] * 100 <= STEAL_RETRY_PCT for a in attempts)
+            and len(attempts) < MAX_ATTEMPTS
         ):
-            attempts += 1
             load = _loadavg()
             out, dt, steal = _steal_during(fn)
-            if best is None or dt < best:
-                best, best_load, best_steal, result = dt, load, steal, out
+            attempts.append((dt, load, steal, out))
+        clean = [a for a in attempts if a[2] * 100 <= STEAL_RETRY_PCT]
+        best, best_load, best_steal, result = min(
+            clean or attempts, key=lambda a: a[0]
+        )
         timings[name] = round(best, 3)
         stage_load[name] = best_load
         stage_steal[name] = round(best_steal * 100, 2)

@@ -1041,7 +1041,7 @@ def _lsh_ann_sql() -> str:
 WITH planes(t, po, w) AS (VALUES {planes}),
 cb AS (
   SELECT e.vec_id, p.t,
-         sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.w) >= 0
+         sum(CASE WHEN round(list_dot_product(e.embedding::DOUBLE[], p.w), 7) >= 0
                   THEN p.po ELSE 0 END)::INT AS bkt
   FROM embeddings e CROSS JOIN planes p
   GROUP BY e.vec_id, p.t
@@ -1400,7 +1400,7 @@ vecs AS (
 planes(t, po, w) AS (VALUES {planes_sql}),
 buckets AS (
   SELECT v.doc_id, p.t,
-         sum(CASE WHEN list_dot_product(v.v, p.w) >= 0
+         sum(CASE WHEN round(list_dot_product(v.v, p.w), 7) >= 0
                   THEN p.po ELSE 0 END)::INT AS bkt
   FROM vecs v CROSS JOIN planes p GROUP BY v.doc_id, p.t
 ),

@@ -89,7 +89,15 @@ def build_bloom(
     n_bytes; (b) the OR tree reduces to a single partition; and (c) the
     driver consumes the reduced partials via ``toLocalIterator`` — it
     holds the final bitmap plus ONE partial, never
-    reduce_partitions × n_bytes at once."""
+    reduce_partitions × n_bytes at once.
+
+    Caveat on (a): ``coalesce`` merges into the *upstream* stage, so on
+    the big path the whole keys-side computation runs at ≤ max_partials
+    tasks.  That is free when ``keys`` is a plain parquet/table scan
+    (the ``add_run`` gate passes materialized run-docs parquet); if you
+    pass an expensive derived frame, materialize it first (write +
+    re-read, or ``localCheckpoint``) or repartition upstream so the
+    narrow coalesce only caps the bitmap stage, not the real work."""
     m_bits, k = bloom_params(n_keys, fpp, max_bits)
     n_bytes = (m_bits + 7) // 8
     big = n_bytes >= (1 << 24)  # ≥ 16 MB per partial bitmap

@@ -365,22 +365,27 @@ class IndexBuilder:
             docs = self._gate_new_docs(docs, seen, seen_total)
 
         base = f"{self.dir}/runs/{run_id}"
-        postings = self._sharded(build_postings(docs, code_aware=self.code_aware))
-        # run postings are write-once-read-once intermediates (consumed by
-        # the next merge wave, then dead): cheap snappy beats the session
-        # zstd here — encode CPU was the hottest JVM stage of the build.
-        # Long-lived artifacts (segments, docs, stats) keep zstd.
-        postings.write.mode("overwrite").option("compression", "snappy").parquet(
-            f"{base}/postings"
-        )
-        docs.select("docID", "repo", "path", "commit", "lang", "content_sha").write.mode(
-            "overwrite"
-        ).parquet(f"{base}/docs")
+        try:
+            postings = self._sharded(build_postings(docs, code_aware=self.code_aware))
+            # run postings are write-once-read-once intermediates (consumed by
+            # the next merge wave, then dead): cheap snappy beats the session
+            # zstd here — encode CPU was the hottest JVM stage of the build.
+            # Long-lived artifacts (segments, docs, stats) keep zstd.
+            postings.write.mode("overwrite").option("compression", "snappy").parquet(
+                f"{base}/postings"
+            )
+            docs.select(
+                "docID", "repo", "path", "commit", "lang", "content_sha"
+            ).write.mode("overwrite").parquet(f"{base}/docs")
+        finally:
+            # unpersist even when a write fails mid-run: a MEMORY_AND_DISK
+            # gate frame must not outlive its run attempt (it would leak
+            # for the session and across resumed builds)
+            for cached in self._gate_cache:
+                cached.unpersist()
+            self._gate_cache.clear()
         n_postings, _ = _footer_rows(f"{base}/postings", spark=self.spark)
         n_docs, _ = _footer_rows(f"{base}/docs", spark=self.spark)
-        for cached in self._gate_cache:  # both gate outputs are written now
-            cached.unpersist()
-        self._gate_cache.clear()
         self._commit(unit, run_id=run_id, postings=n_postings, docs=n_docs)
 
     def _gate_new_docs(

@@ -254,37 +254,56 @@ DRIVER_TOKENIZE_MAX = 512
 
 def _query_term_map(
     queries: DataFrame, code_aware: bool, driver_max: int
-) -> dict[int, list[str]]:
-    """{query_id: sorted distinct terms}.  Small batches collect text and
-    tokenize on the driver; large batches tokenize in executors and only
-    the distinct (query_id, term) pairs cross to the driver."""
+) -> dict[int, list[str]] | None:
+    """{query_id: sorted distinct terms} for batches small enough to
+    tokenize on the driver; ``None`` for larger batches — callers then
+    take the distributed per-wave path (:func:`_wave_qmaps`), which never
+    materializes the whole batch's pairs on the driver."""
     q = queries.select("query_id", "query_text")
     head = q.limit(driver_max + 1).collect() if driver_max >= 0 else []
-    if driver_max >= 0 and len(head) <= driver_max:
-        if code_aware:
-            from docinsight_spark.functions.tokenizer import tokenize_code_pandas
+    if driver_max < 0 or len(head) > driver_max:
+        return None
+    if code_aware:
+        from docinsight_spark.functions.tokenizer import tokenize_code_pandas
 
-            toks = tokenize_code_pandas(
-                pd.Series([r["query_text"] for r in head]),
-                pd.Series(["java"] * len(head)),
-            )
-        else:
-            import re as _re
+        toks = tokenize_code_pandas(
+            pd.Series([r["query_text"] for r in head]),
+            pd.Series(["java"] * len(head)),
+        )
+    else:
+        import re as _re
 
-            # replicate Spark/Java regex semantics exactly: Java's \s is
-            # the ASCII class [ \t\n\x0B\f\r], while Python's \s is
-            # Unicode-aware — a query containing e.g. NBSP must tokenize
-            # the same on the driver path, the distributed path, AND the
-            # index build (all Java-regex) or results differ by batch size
-            _ws = _re.compile("[ \t\n\x0b\f\r]+")
-            toks = [
-                [t for t in _ws.split((r["query_text"] or "").lower()) if t]
-                for r in head
-            ]
-        qmap: dict[int, list[str]] = {}
-        for r, ts in zip(head, toks):
-            qmap.setdefault(int(r["query_id"]), []).extend(ts)
-        return {qid: sorted(set(ts)) for qid, ts in qmap.items() if ts}
+        # replicate Spark/Java regex semantics exactly: Java's \s is
+        # the ASCII class [ \t\n\x0B\f\r], while Python's \s is
+        # Unicode-aware — a query containing e.g. NBSP must tokenize
+        # the same on the driver path, the distributed path, AND the
+        # index build (all Java-regex) or results differ by batch size
+        _ws = _re.compile("[ \t\n\x0b\f\r]+")
+        toks = [
+            [t for t in _ws.split((r["query_text"] or "").lower()) if t]
+            for r in head
+        ]
+    qmap: dict[int, list[str]] = {}
+    for r, ts in zip(head, toks):
+        qmap.setdefault(int(r["query_id"]), []).extend(ts)
+    return {qid: sorted(set(ts)) for qid, ts in qmap.items() if ts}
+
+
+def _wave_qmaps(
+    queries: DataFrame,
+    code_aware: bool,
+    chunk: int,
+    stats_out: dict | None = None,
+):
+    """Yield per-wave {query_id: terms} dicts for a LARGE query batch.
+
+    The batch tokenizes in executors into a distinct (query_id, term)
+    pair frame; each query_id is assigned a wave (row_number over sorted
+    ids / chunk) and the driver collects ONE wave's pairs at a time —
+    driver residency is O(chunk × terms-per-query), never O(batch).
+    The pair frame is persisted so the per-wave filters are cheap
+    re-reads, not re-tokenizations."""
+    from pyspark import StorageLevel
 
     from docinsight_spark.functions.tokenizer import (
         code_tokens_udf,
@@ -297,14 +316,35 @@ def _query_term_map(
         else simple_tokens_col("query_text")
     )
     pairs = (
-        q.select("query_id", F.explode(F.array_distinct(tok)).alias("term"))
+        queries.select("query_id", F.explode(F.array_distinct(tok)).alias("term"))
         .distinct()
-        .collect()
     )
-    qmap = {}
-    for r in pairs:
-        qmap.setdefault(int(r["query_id"]), []).append(r["term"])
-    return {qid: sorted(set(ts)) for qid, ts in qmap.items() if ts}
+    # wave id per query: ids only cross the shuffle (the single-task
+    # window sorts ~8 bytes/query — bounded and cheap even at 10^7)
+    wv = Window.orderBy("query_id")
+    qw = (
+        pairs.select("query_id")
+        .distinct()
+        .withColumn("_wave", ((F.row_number().over(wv) - 1) / chunk).cast("int"))
+    )
+    pw = pairs.join(qw, "query_id").persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        last = pw.agg(F.max("_wave").alias("m")).first()["m"]
+        if last is None:
+            return
+        max_pairs = 0
+        for w in range(int(last) + 1):
+            rows = pw.filter(F.col("_wave") == w).select("query_id", "term").collect()
+            max_pairs = max(max_pairs, len(rows))
+            qmap: dict[int, list[str]] = {}
+            for r in rows:
+                qmap.setdefault(int(r["query_id"]), []).append(r["term"])
+            yield {qid: sorted(set(ts)) for qid, ts in qmap.items() if ts}
+        if stats_out is not None:
+            stats_out["n_waves"] = int(last) + 1
+            stats_out["driver_pairs_max_wave"] = max_pairs
+    finally:
+        pw.unpersist()
 
 
 # Above this many queries in one batch, the query map is split into
@@ -313,6 +353,12 @@ def _query_term_map(
 # O(shards × batch).  Each wave prunes the segment scan to its own terms,
 # so per-task work is O(shards × wave) with a bounded broadcast.
 QUERY_CHUNK_SIZE = 10_000
+
+# Per-wave results accumulate via unionByName; past this many waves the
+# accumulated frame is localCheckpoint'ed so the logical plan stays
+# bounded (a 10^6-query batch is ~100 waves — a linearly growing plan
+# costs analysis time and driver memory per wave).
+CHECKPOINT_WAVES = 32
 
 
 def wand_search(
@@ -326,8 +372,13 @@ def wand_search(
     _tstats: DataFrame | None = None,
     driver_tokenize_max: int | None = None,
     query_chunk_size: int | None = None,
+    stats_out: dict | None = None,
 ) -> DataFrame:
-    """(query_id, rank, docID, score) — fast path over the segment index."""
+    """(query_id, rank, docID, score) — fast path over the segment index.
+
+    ``stats_out`` (optional dict) receives wave telemetry on the
+    distributed-batch path: number of waves and the max driver-resident
+    (query_id, term) pair count per wave."""
     if driver_tokenize_max is None:
         driver_tokenize_max = DRIVER_TOKENIZE_MAX
     if query_chunk_size is None:
@@ -340,11 +391,12 @@ def wand_search(
         )
     if code_aware is None:
         code_aware = bool(meta.get("code_aware", True))
+    empty = spark.createDataFrame(
+        [], "query_id long, rank int, docID long, score double"
+    )
     qmap = _query_term_map(queries, code_aware, driver_tokenize_max)
-    if not any(qmap.values()):
-        return spark.createDataFrame(
-            [], "query_id long, rank int, docID long, score double"
-        )
+    if qmap is not None and not any(qmap.values()):
+        return empty
     n_docs, avgdl = int(meta["n_docs"]), float(meta["avgdl"])
     k1, b = float(meta["k1"]), float(meta["b"])
     n_shards = int(meta["n_buckets"]) * int(meta.get("n_subs", 1))
@@ -355,18 +407,28 @@ def wand_search(
     tstats = _tstats if _tstats is not None else spark.read.parquet(
         f"{index_dir}/term_stats"
     )
-    qids = sorted(qmap)
-    waves = [
-        {qid: qmap[qid] for qid in qids[i : i + query_chunk_size]}
-        for i in range(0, len(qids), query_chunk_size)
-    ]
+    if qmap is not None:
+        qids = sorted(qmap)
+        waves = (
+            {qid: qmap[qid] for qid in qids[i : i + query_chunk_size]}
+            for i in range(0, len(qids), query_chunk_size)
+        )
+    else:
+        # large batch: per-wave driver collection — bounded footprint
+        waves = _wave_qmaps(queries, code_aware, query_chunk_size, stats_out)
     local = None
-    for wave in waves:
+    for wi, wave in enumerate(waves):
         part = _wave_local_topk(
             spark, base, tstats, wave, index_dir,
             n_docs, avgdl, k1, b, k, n_shards,
         )
         local = part if local is None else local.unionByName(part)
+        if (wi + 1) % CHECKPOINT_WAVES == 0:
+            # truncate the growing union lineage; rows are shards×k per
+            # query — tiny relative to the work that produced them
+            local = local.localCheckpoint(eager=True)
+    if local is None:
+        return empty
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("docID"))
     return (
         local.withColumn("rank", F.row_number().over(w))

@@ -38,29 +38,55 @@ from pyspark.sql import functions as F
 _WS = "[ \t\n\x0b\f\r]+"
 
 
-def _embed_batch(texts: pd.Series, dim: int, seed: int) -> list[list[float]]:
-    import re
+# findall of non-ws runs ≡ split-on-\s minus empties, one vectorized
+# pass with nothing to filter (same trick as tokenizer.py)
+_NONWS = "[^ \t\n\x0b\f\r]+"
 
+
+def _embed_batch(texts: pd.Series, dim: int, seed: int) -> list[list[float] | None]:
+    """Batch-vectorized hashing-trick embedding.
+
+    One flat token array for the whole batch (vectorized findall →
+    concatenate + repeat), tokens deduplicated with hash-based
+    ``pd.factorize`` (sort-based ``np.unique`` on strings measured 20×
+    slower), crc32 evaluated once per UNIQUE token, then a single
+    ``np.add.at`` scatter into an (n_rows, dim) matrix and one row-wise
+    normalize.  Outputs are bit-identical to the per-row formulation:
+    every accumulated value is a small-integer sum of ±1 (exact in
+    double at any addition order) and the norm/division fold the same
+    contiguous row."""
     from docinsight_spark.index.bloom import _mix64
 
-    ws = re.compile(_WS)
-    out = []
-    for t in texts:
-        if t is None:
-            out.append(None)
-            continue
-        toks = [x for x in ws.split(str(t).lower()) if x]
-        vec = np.zeros(dim, dtype=np.float64)
-        if toks:
-            crcs = np.array([zlib.crc32(x.encode()) for x in toks], dtype=np.uint64)
-            h = _mix64(crcs + np.uint64((seed & 0xFFFFFFFF) << 32))
-            idx = (h % np.uint64(dim)).astype(np.int64)
-            signs = np.where((h >> np.uint64(32)) & np.uint64(1), 1.0, -1.0)
-            np.add.at(vec, idx, signs)
-        n = float(np.linalg.norm(vec))
-        if n > 0:
-            vec /= n
-        out.append([float(x) for x in vec])
+    arr = texts.to_numpy(dtype=object)
+    n = len(arr)
+    out: list[list[float] | None] = [None] * n
+    sel = np.flatnonzero(np.fromiter((t is not None for t in arr), bool, count=n))
+    if len(sel) == 0:
+        return out
+    toks = pd.Series(arr[sel]).astype(str).str.lower().str.findall(_NONWS)
+    lens = toks.map(len).to_numpy()
+    mat = np.zeros((len(sel), dim), dtype=np.float64)
+    if lens.sum():
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+        rows = np.repeat(np.arange(len(sel)), lens)
+        codes, uniques = pd.factorize(flat, sort=False)
+        crcs = np.fromiter(
+            (zlib.crc32(t.encode()) for t in uniques), np.uint64, count=len(uniques)
+        )
+        h = _mix64(crcs + np.uint64((seed & 0xFFFFFFFF) << 32))
+        idx = (h % np.uint64(dim)).astype(np.int64)
+        signs = np.where((h >> np.uint64(32)) & np.uint64(1), 1.0, -1.0)
+        # linear-index bincount ≡ np.add.at scatter (measured 5× faster);
+        # sums of ±1 are exact in double, so the values are identical
+        lin = rows * dim + idx[codes]
+        mat = np.bincount(
+            lin, weights=signs[codes], minlength=len(sel) * dim
+        ).reshape(len(sel), dim)
+    norms = np.linalg.norm(mat, axis=1)
+    nz = norms > 0
+    mat[nz] /= norms[nz, None]
+    for j, i in enumerate(sel):
+        out[i] = mat[j].tolist()
     return out
 
 

@@ -82,10 +82,18 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 
 def _bucket_key(vec: Column, planes: list[list[float]]) -> Column:
+    """Hyperplane sign bucket.  The dot is rounded to 7 dp before the
+    sign test (the same guard as the IVF path's ``_cent_dots``): a dot a
+    few ulps either side of 0 must not flip a bucket between engines —
+    the DuckDB oracles apply the identical ``round(..., 7) >= 0``.
+    Callers pass the RAW vector (sign is scale-invariant), so both
+    engines fold the exact same doubles in the same order."""
     bits = []
     for i, p in enumerate(planes):
         lit = F.array(*[F.lit(float(x)) for x in p])
-        bits.append(F.when(_dot(vec, lit) >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+        bits.append(
+            F.when(F.round(_dot(vec, lit), 7) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        )
     out = bits[0]
     for b in bits[1:]:
         out = out + b
@@ -106,18 +114,27 @@ def lsh_candidates(
     exact cosine, no ranking.  Exposed separately so callers (and the
     driver contract) can round before ranking."""
     if dim is None:
+        # one Spark action — a fixed query cost; callers in loops (or on
+        # expensive derived frames) should pass dim explicitly
         dim = len(corpus.select(vec_col).first()[0])
+    # bucket on the RAW vector (sign is invariant under the positive
+    # unit scaling), so the SQL oracle — which only has the raw column —
+    # folds the identical doubles
     c = with_unit_vectors(corpus, vec_col).select(
-        F.col(corpus_id).alias("vec_id"), F.col("unit_vec").alias("cv")
+        F.col(corpus_id).alias("vec_id"),
+        F.col("unit_vec").alias("cv"),
+        F.col(vec_col).alias("craw"),
     )
     q = with_unit_vectors(queries, vec_col).select(
-        F.col(query_id).alias("query_id"), F.col("unit_vec").alias("qv")
+        F.col(query_id).alias("query_id"),
+        F.col("unit_vec").alias("qv"),
+        F.col(vec_col).alias("qraw"),
     )
     cand = None
     for t in range(n_tables):
         planes = hyperplanes(dim, n_planes, seed=42 + 1000 * t)
-        ct = c.withColumn("bkt", _bucket_key(F.col("cv"), planes))
-        qt = q.withColumn("bkt", _bucket_key(F.col("qv"), planes))
+        ct = c.withColumn("bkt", _bucket_key(F.col("craw"), planes))
+        qt = q.withColumn("bkt", _bucket_key(F.col("qraw"), planes))
         p = ct.join(F.broadcast(qt), "bkt").select("query_id", "vec_id", "cv", "qv")
         cand = p if cand is None else cand.unionByName(p)
     return cand.dropDuplicates(["query_id", "vec_id"]).select(
@@ -171,14 +188,18 @@ def embedding_near_duplicates(
     otherwise go O(n²).  Pairs inside an over-full bucket are dropped in
     that table; the other tables can still recall them."""
     if dim is None:
+        # one Spark action — a fixed query cost; callers in loops (or on
+        # expensive derived frames) should pass dim explicitly
         dim = len(df.select(vec_col).first()[0])
     u = with_unit_vectors(df, vec_col).select(
-        F.col(id_col).alias("id"), F.col("unit_vec").alias("v")
+        F.col(id_col).alias("id"),
+        F.col("unit_vec").alias("v"),
+        F.col(vec_col).alias("raw"),
     )
     cand = None
     for t in range(n_tables):
         planes = hyperplanes(dim, n_planes, seed=77 + 1000 * t)
-        b = u.withColumn("bkt", _bucket_key(F.col("v"), planes))
+        b = u.withColumn("bkt", _bucket_key(F.col("raw"), planes))
         sz = Window.partitionBy("bkt")
         b = b.withColumn("_n", F.count(F.lit(1)).over(sz)).filter(
             F.col("_n") <= max_bucket

@@ -62,8 +62,9 @@ def main() -> None:
 
         queries = make_queries(spark, corpus_n=N_FILES, n_queries=N_QUERIES)
         queries.cache().count()
+        wave_stats: dict = {}
         t0 = time.time()
-        rows = wand_search(spark, idx, queries, k=10).count()
+        rows = wand_search(spark, idx, queries, k=10, stats_out=wave_stats).count()
         batch_s = time.time() - t0
         print(
             json.dumps(
@@ -75,6 +76,9 @@ def main() -> None:
                     "batch_sec": round(batch_s, 2),
                     "qps": round(N_QUERIES / batch_s, 1),
                     "result_rows": rows,
+                    # bounded-driver evidence: pairs resident per wave,
+                    # not per batch (wand._wave_qmaps)
+                    **wave_stats,
                 }
             )
         )

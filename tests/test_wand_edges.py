@@ -101,6 +101,40 @@ def test_huge_k_hot_term_scores_descend(spark, small_idx):
     assert all(s[i] >= s[i + 1] - 1e-12 for i in range(len(s) - 1))
 
 
+def test_per_wave_driver_collect_identical_with_telemetry(spark, small_idx):
+    """Large-batch path: (query_id, term) pairs are collected per WAVE —
+    driver residency is O(chunk × terms/query), never O(batch) — and the
+    results are identical to the small-batch driver-tokenized path."""
+    from docinsight_spark.corpus import make_queries
+
+    q = make_queries(spark, corpus_n=200, n_queries=30)
+    stats: dict = {}
+    a = sorted(map(tuple, wand_search(
+        spark, small_idx, q, k=5, driver_tokenize_max=0,
+        query_chunk_size=7, stats_out=stats,
+    ).collect()))
+    b = sorted(map(tuple, wand_search(spark, small_idx, q, k=5).collect()))
+    assert a == b and len(a) > 0
+    assert stats["n_waves"] == 5  # ceil(30 / 7)
+    # one wave's pairs only: ≤ chunk × (distinct terms per query)
+    assert 0 < stats["driver_pairs_max_wave"] < 7 * 64
+
+
+def test_many_waves_checkpoint_guard_identical(spark, small_idx, monkeypatch):
+    """Past CHECKPOINT_WAVES the accumulated union is localCheckpoint'ed
+    (bounded logical plan); results must be unchanged through it."""
+    from docinsight_spark.corpus import make_queries
+    from docinsight_spark.index import wand as wand_mod
+
+    monkeypatch.setattr(wand_mod, "CHECKPOINT_WAVES", 4)
+    q = make_queries(spark, corpus_n=200, n_queries=26)
+    many = sorted(map(tuple, wand_search(
+        spark, small_idx, q, k=5, query_chunk_size=2,  # 13 waves → 3 checkpoints
+    ).collect()))
+    one = sorted(map(tuple, wand_search(spark, small_idx, q, k=5).collect()))
+    assert many == one and len(many) > 0
+
+
 def test_wand_query_batch_chunking_identical(spark, small_idx):
     """Large batches split into bounded waves; results must be identical
     to the single-wave path (per-shard work stays O(shards × wave))."""
