@@ -87,23 +87,18 @@ def oracle_from_index(
     (merged postings, doc/term stats) — no re-tokenize, so the oracle
     pass costs one scan + the scoring joins."""
     from docinsight_spark.index import fsio
+    from docinsight_spark.index.builder import (
+        load_doc_stats,
+        load_merged_postings,
+        load_term_stats,
+    )
     from docinsight_spark.operators.postings import CorpusStats
     from docinsight_spark.operators.query import search
 
     meta = fsio.read_json(f"{index_dir}/_meta.json")
-    manifests = [
-        fsio.read_json(f"{index_dir}/manifests/{fn}")
-        for fn in fsio.listdir(f"{index_dir}/manifests")
-        if fn.endswith(".json")
-    ]
-    final = [m for m in manifests if m.get("unit") == "merged-final"]
-    if not final:
-        raise ValueError("index has no merged-final manifest")
-    postings = spark.read.parquet(f"{final[0]['source']}/postings").select(
-        "term", "docID", "tf"
-    )
-    tstats = spark.read.parquet(f"{index_dir}/term_stats")
-    dstats = spark.read.parquet(f"{index_dir}/doc_stats").select("docID", "dl")
+    postings = load_merged_postings(spark, index_dir, meta)
+    tstats = load_term_stats(spark, index_dir, meta)
+    dstats = load_doc_stats(spark, index_dir, meta)
     stats = CorpusStats(n_docs=int(meta["n_docs"]), avgdl=float(meta["avgdl"]))
     return search(
         queries, postings, tstats, dstats, stats, k=k,

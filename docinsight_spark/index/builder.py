@@ -77,6 +77,7 @@ SEGMENT_SCHEMA = (
     "doc_bucket int, doc_sub int, term string, n long, "
     "first_doc array<long>, last_doc array<long>, bn array<int>, "
     "offsets array<long>, doc_bytes array<int>, max_score array<float>, "
+    "tf_max array<long>, dl_min array<long>, "
     "payload binary"
 )
 
@@ -248,6 +249,22 @@ def read_doc_stats_bucket(index_dir: str, bucket: int) -> dict | None:
     return {
         "docID": t.column("docID").to_numpy(),
         "dl": t.column("dl").to_numpy(),
+    }
+
+
+def read_doc_stats_bucket_multi(roots: list[str], bucket: int) -> dict | None:
+    """Union of one bucket's doc-length maps across segment-set roots
+    (base index dir + committed generation dirs).  docIDs are disjoint
+    across generations (the cross-run dedup gate), so concatenation is
+    exact."""
+    parts = [p for p in (read_doc_stats_bucket(r, bucket) for r in roots) if p]
+    if not parts:
+        return None
+    if len(parts) == 1:
+        return parts[0]
+    return {
+        "docID": np.concatenate([p["docID"] for p in parts]),
+        "dl": np.concatenate([p["dl"] for p in parts]),
     }
 
 
@@ -432,16 +449,52 @@ class IndexBuilder:
 
     # -- stage 2: hierarchical merge waves ---------------------------------
 
+    def _gen_manifests(self) -> list[dict]:
+        """Committed generation manifests (delta refreshes), sorted by id."""
+        gens = [
+            m for m in self.manifests() if m["unit"].startswith("generation-")
+        ]
+        return sorted(gens, key=lambda m: m["gen_id"])
+
+    def _covered_runs(self) -> set[str]:
+        """Runs already baked into the base index or a generation.
+
+        Sources: the merged-final manifest, generation manifests, AND the
+        committed ``_meta.json`` generation list — the meta write is a
+        generation's commit point (readers only see meta-listed gens), so
+        a crash between meta write and manifest write must still count
+        the generation as covered or a rerun would double-ingest it."""
+        covered: set[str] = set()
+        for m in self.manifests():
+            if m["unit"] == "merged-final" or m["unit"].startswith("generation-"):
+                covered |= set(m.get("runs", []))
+        if fsio.exists(f"{self.dir}/_meta.json"):
+            meta = self.meta()
+            covered |= set(meta.get("base", {}).get("runs", []))
+            for g in meta.get("generations", []):
+                covered |= set(g.get("runs", []))
+        return covered
+
+    def _next_gen_id(self) -> str:
+        """Monotonic generation id across manifests AND meta (compaction
+        removes old manifests; ids must never be reused)."""
+        ids = [m["gen_id"] for m in self._gen_manifests()]
+        if fsio.exists(f"{self.dir}/_meta.json"):
+            ids += [g["id"] for g in self.meta().get("generations", [])]
+        nums = [int(i[3:]) for i in ids if i.startswith("gen")]
+        return f"gen{max(nums, default=0) + 1:04d}"
+
     def merge_all(self, fanin: int = 8) -> str:
         """Repartition-and-sort merge waves until one shard-sorted layout
         remains; resumable per wave step.
 
         The terminal manifest records the run set it covered: a repeated
-        ``merge_all`` with the same runs short-circuits, while calling it
-        after new runs were added fails loudly (instead of silently
-        serving an index that excludes them) — clear the merge/finalize
-        manifests via :func:`docinsight_spark.streaming.incremental.refresh`
-        to rebuild over the new run set."""
+        ``merge_all`` with the same covered runs short-circuits; runs
+        covered by a delta *generation* (:meth:`refresh_delta`) also
+        count.  Calling it with genuinely uncovered runs fails loudly
+        (instead of silently serving an index that excludes them) —
+        :func:`docinsight_spark.streaming.incremental.refresh` is the
+        sanctioned path, which folds new runs into a delta generation."""
         runs = sorted(
             m["run_id"] for m in self.manifests() if m["unit"].startswith("run-")
         )
@@ -457,28 +510,42 @@ class IndexBuilder:
                     "merged-final manifest records no run set; call "
                     "streaming.incremental.refresh() to re-merge"
                 )
-            covered = sorted(final["runs"])
-            if covered != runs:
+            covered = self._covered_runs()
+            uncovered = [r for r in runs if r not in covered]
+            if uncovered:
                 raise ValueError(
-                    f"index was finalized over runs {covered} but runs {runs} now "
-                    "exist; call streaming.incremental.refresh() to re-merge"
+                    f"index covers runs {sorted(covered)} but uncovered runs "
+                    f"{uncovered} now exist; call "
+                    "streaming.incremental.refresh() to fold them into a "
+                    "delta generation"
                 )
             return final["source"]
         sources = [f"{self.dir}/runs/{r}" for r in runs]
+        source, waves = self._merge_waves(
+            sources, f"{self.dir}/merged", "merge", fanin
+        )
+        self._commit("merged-final", source=source, waves=waves, runs=runs)
+        return source
+
+    def _merge_waves(
+        self, sources: list[str], out_root: str, unit_prefix: str, fanin: int
+    ) -> tuple[str, int]:
+        """Hierarchical merge of run dirs into one shard-sorted layout
+        under ``out_root``; every wave step is manifest-guarded with
+        ``unit_prefix``-scoped names.  Returns (final source dir, waves)."""
         wave = 0
         while len(sources) > 1 or sources[0].startswith(f"{self.dir}/runs/"):
             groups = [sources[i : i + fanin] for i in range(0, len(sources), fanin)]
             nxt = []
             for gi, grp in enumerate(groups):
-                out = f"{self.dir}/merged/wave{wave}/g{gi}"
-                unit = f"merge-w{wave}-g{gi}"
+                out = f"{out_root}/wave{wave}/g{gi}"
+                unit = f"{unit_prefix}-w{wave}-g{gi}"
                 if not self._done(unit):
                     self._merge_group(grp, out, unit)
                 nxt.append(out)
             sources = nxt
             wave += 1
-        self._commit("merged-final", source=sources[0], waves=wave, runs=runs)
-        return sources[0]
+        return sources[0], wave
 
     def _merge_group(self, grp: list[str], out: str, unit: str) -> None:
         """One merge step: repartition-and-sort-within-partitions by shard.
@@ -506,36 +573,36 @@ class IndexBuilder:
 
     # -- stage 3: finalize (stats + segment encode) -------------------------
 
-    def finalize(self, merged_dir: str | None = None) -> None:
-        if self._done("finalize"):
-            return
-        if merged_dir is None:
-            final = [m for m in self.manifests() if m["unit"] == "merged-final"]
-            if not final:
-                raise ValueError("run merge_all() before finalize()")
-            merged_dir = final[0]["source"]
+    def _write_doc_term_stats(
+        self, postings: DataFrame, out_root: str
+    ) -> tuple[int, float, int]:
+        """Write ``doc_stats`` + ``term_stats`` under ``out_root`` and
+        return exact (n_docs, avgdl, sum_dl) for the posting set.
 
-        postings = self.spark.read.parquet(f"{merged_dir}/postings")
-
-        # doc_stats: (docID, dl) per bucket — the kernel-side dl source.
-        # Hash repartition, NOT repartitionByRange: range partitioning
-        # samples its input, which would run the whole groupBy twice
-        # (range directly on an unmaterialized aggregate = double agg).
-        # The key domain is tiny (n_buckets ints), so hash clustering is
-        # enough to keep file counts bounded per partition dir.
-        # N / avgdl ride along as observed metrics of the SAME write job
-        # (no read-back aggregation job).
+        doc_stats: (docID, dl) per bucket — the kernel-side dl source.
+        Hash repartition, NOT repartitionByRange: range partitioning
+        samples its input, which would run the whole groupBy twice
+        (range directly on an unmaterialized aggregate = double agg).
+        The key domain is tiny (n_buckets ints), so hash clustering is
+        enough to keep file counts bounded per partition dir.
+        N / avgdl / Σdl ride along as observed metrics of the SAME write
+        job (no read-back aggregation job)."""
         from pyspark.sql import Observation
 
         obs = Observation("corpus_stats")
         (
             postings.groupBy("doc_bucket", "docID")
             .agg(F.sum("tf").alias("dl"))
-            .observe(obs, F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.avg("dl").alias("avgdl"),
+                F.sum("dl").alias("sum_dl"),
+            )
             .repartition(self.n_buckets, "doc_bucket")
             .write.mode("overwrite")
             .partitionBy("doc_bucket")
-            .parquet(f"{self.dir}/doc_stats")
+            .parquet(f"{out_root}/doc_stats")
         )
 
         # Global stats: salted df aggregation (hot-term skew defused).
@@ -544,42 +611,98 @@ class IndexBuilder:
         # lookups prune parquet row groups via min/max stats.
         ts = term_stats(postings.select("term", "docID", "tf"))
         ts.sortWithinPartitions("term").write.mode("overwrite").parquet(
-            f"{self.dir}/term_stats"
+            f"{out_root}/term_stats"
         )
         stats_row = obs.get
         n_docs, avgdl = int(stats_row["n"]), float(stats_row["avgdl"] or 0.0)
+        sum_dl = int(stats_row["sum_dl"] or 0)
         # observed metrics can over-count under stage resubmission /
         # speculative execution; the parquet footers of the just-written
         # doc_stats are exact and free — cross-check, and recompute with
         # an exact read-back aggregation on mismatch (rare path).
-        footer_n, _ = _footer_rows(f"{self.dir}/doc_stats", spark=self.spark)
+        footer_n, _ = _footer_rows(f"{out_root}/doc_stats", spark=self.spark)
         if footer_n != n_docs:
             row = (
-                self.spark.read.parquet(f"{self.dir}/doc_stats")
-                .agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+                self.spark.read.parquet(f"{out_root}/doc_stats")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.avg("dl").alias("avgdl"),
+                    F.sum("dl").alias("sum_dl"),
+                )
                 .first()
             )
             n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
+            sum_dl = int(row["sum_dl"] or 0)
+        return n_docs, avgdl, sum_dl
+
+    def finalize(self, merged_dir: str | None = None) -> None:
+        if self._done("finalize"):
+            return
+        if merged_dir is None:
+            final = [m for m in self.manifests() if m["unit"] == "merged-final"]
+            if not final:
+                raise ValueError("run merge_all() before finalize()")
+            merged_dir = final[0]["source"]
+        final = [m for m in self.manifests() if m["unit"] == "merged-final"]
+        base_runs = final[0].get("runs", []) if final else []
+
+        postings = self.spark.read.parquet(f"{merged_dir}/postings")
+        n_docs, avgdl, sum_dl = self._write_doc_term_stats(postings, self.dir)
         meta = {
             "n_docs": n_docs,
             "avgdl": avgdl,
+            "sum_dl": sum_dl,
             "n_buckets": self.n_buckets,
             "n_subs": self.n_subs,
             "block_size": self.block_size,
             "k1": self.k1,
             "b": self.b,
             "code_aware": self.code_aware,
-            "version": 3,
+            "version": 4,
+            # the base segment set's encode-time stats: generations added
+            # later shift the global avgdl, and the query side needs the
+            # per-set encode avgdl to keep stored block maxima admissible
+            "base": {
+                "avgdl_enc": avgdl,
+                "n_docs": n_docs,
+                "sum_dl": sum_dl,
+                "runs": base_runs,
+            },
+            "generations": [],
         }
         _atomic_write_json(f"{self.dir}/_meta.json", meta)
 
-        # Segment encode straight off the merge output: the scan preserves
-        # within-file (shard, term, docID) order; dl is read bucket-
-        # locally in the kernel.  No join and no shuffle touch the
-        # posting stream (block maxima are idf-independent, so the
-        # full-vocabulary term_stats never broadcasts here).
+        lineage = self._encode_segments(
+            postings, f"{self.dir}/segments", avgdl, [self.dir]
+        )
+        n_postings, _ = _footer_rows(f"{merged_dir}/postings", spark=self.spark)
+        lineage["postings_merged"] = n_postings
+        _atomic_write_json(f"{self.dir}/lineage_segments.json", lineage)
+        self._commit(
+            "finalize",
+            segments_built=lineage["segments_built"],
+            postings_merged=n_postings,
+            bytes_compressed=lineage["bytes_compressed"],
+            per_bucket=lineage["per_bucket"],
+            n_docs=n_docs,
+            avgdl=avgdl,
+        )
+
+    def _encode_segments(
+        self,
+        postings: DataFrame,
+        seg_out: str,
+        avgdl: float,
+        dl_roots: list[str],
+    ) -> dict:
+        """Segment encode straight off a merge output: the scan preserves
+        within-file (shard, term, docID) order; dl is read bucket-
+        locally in the kernel from ``dl_roots``.  No join and no shuffle
+        touch the posting stream (block maxima are idf-independent, so
+        the full-vocabulary term_stats never broadcasts here).  Returns
+        the footer-derived segment lineage counters."""
         enc_input = self._encode_input(postings)
-        index_dir, k1, b, block_size = self.dir, self.k1, self.b, self.block_size
+        k1, b, block_size = self.k1, self.b, self.block_size
         strict = strict_dl_enabled()
 
         def encode_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -589,7 +712,7 @@ class IndexBuilder:
             def dl_for(bucket: int, doc_ids: np.ndarray) -> np.ndarray:
                 m = dl_cache.get(bucket)
                 if m is None:
-                    m = read_doc_stats_bucket(index_dir, bucket) or {
+                    m = read_doc_stats_bucket_multi(dl_roots, bucket) or {
                         "docID": np.empty(0, np.int64),
                         "dl": np.empty(0, np.int64),
                     }
@@ -636,7 +759,8 @@ class IndexBuilder:
                     # multiplied by idf at query time (wand.py)
                     score = t * (k1 + 1.0) / (t + k1 * (1 - b + b * dl / avgdl))
                     payload, m = encode_postings(
-                        d, t.astype(np.int64), score.astype(np.float32), block_size
+                        d, t.astype(np.int64), score.astype(np.float32),
+                        block_size, dls=dl.astype(np.int64),
                     )
                     rows.append(
                         {
@@ -650,6 +774,8 @@ class IndexBuilder:
                             "offsets": m.offset.tolist(),
                             "doc_bytes": m.doc_bytes.tolist(),
                             "max_score": m.max_score.tolist(),
+                            "tf_max": m.tf_max.tolist(),
+                            "dl_min": m.dl_min.tolist(),
                             "payload": payload,
                         }
                     )
@@ -673,23 +799,11 @@ class IndexBuilder:
         (
             segments.write.mode("overwrite")
             .partitionBy("doc_bucket")
-            .parquet(f"{self.dir}/segments")
+            .parquet(seg_out)
         )
         # Per-partition lineage from parquet footers — counters without a
         # Spark job (segments built, postings merged, compressed bytes).
-        lineage = _segment_lineage(f"{self.dir}/segments", spark=self.spark)
-        n_postings, _ = _footer_rows(f"{merged_dir}/postings", spark=self.spark)
-        lineage["postings_merged"] = n_postings
-        _atomic_write_json(f"{self.dir}/lineage_segments.json", lineage)
-        self._commit(
-            "finalize",
-            segments_built=lineage["segments_built"],
-            postings_merged=n_postings,
-            bytes_compressed=lineage["bytes_compressed"],
-            per_bucket=lineage["per_bucket"],
-            n_docs=n_docs,
-            avgdl=avgdl,
-        )
+        return _segment_lineage(seg_out, spark=self.spark)
 
     def _encode_input(self, postings: DataFrame) -> DataFrame:
         """The segment encoder's input: a pure projection of the merged
@@ -731,19 +845,299 @@ class IndexBuilder:
     def meta(self) -> dict:
         return fsio.read_json(f"{self.dir}/_meta.json")
 
+    # -- incremental generations (O(delta) refresh + compaction) -------------
+
+    def refresh_delta(self, fanin: int = 8) -> str | None:
+        """O(delta) incremental refresh: fold runs not yet covered by the
+        base index or an existing generation into a NEW segment
+        generation — only the delta is merged and encoded; the base
+        segments are never rewritten.
+
+        The reference's incremental update
+        (``/root/reference/index/index_manager.py:124-201``) embeds and
+        indexes only chunks ``WHERE embedding IS NULL``; this is the
+        segment-generation analog.  Correctness under corpus growth:
+        global (N, avgdl, df) are maintained exactly in ``_meta.json`` /
+        via :func:`load_term_stats`, so exact scores never drift — and
+        stale stored block maxima (encoded at an older avgdl) stay
+        admissible through the per-block (tf_max, dl_min) bound the
+        query side recomputes under the CURRENT avgdl (codec.BlockMeta).
+
+        Commit protocol: generation dirs → ``_meta.json`` update (the
+        commit point readers see) → generation manifest (lineage).  Every
+        step is idempotent; a rerun after any crash converges without
+        double-counting.  Returns the new generation id, ``"base"`` for
+        an initial build, or ``None`` when no new runs exist."""
+        if not self._done("merged-final"):
+            self.merge_all(fanin=fanin)
+            self.finalize()
+            return "base"
+        if not self._done("finalize"):
+            self.finalize()
+        runs = sorted(
+            m["run_id"] for m in self.manifests() if m["unit"].startswith("run-")
+        )
+        new = [r for r in runs if r not in self._covered_runs()]
+        if not new:
+            return None
+        gid = self._next_gen_id()
+        groot = f"{self.dir}/generations/{gid}"
+        src, _ = self._merge_waves(
+            [f"{self.dir}/runs/{r}" for r in new],
+            f"{groot}/merged", f"genmerge-{gid}", fanin,
+        )
+        n_rows, _ = _footer_rows(f"{src}/postings", spark=self.spark)
+        if n_rows == 0:
+            # delta fully deduplicated away: record coverage, keep no dirs
+            fsio.rmtree(groot)
+            self._commit(
+                f"generation-{gid}", gen_id=gid, runs=new, empty=True, n_docs=0
+            )
+            return gid
+        postings = self.spark.read.parquet(f"{src}/postings")
+        n_new, _avg_new, sum_new = self._write_doc_term_stats(postings, groot)
+        meta = self.meta()
+        gens = [g for g in meta.get("generations", []) if g["id"] != gid]
+        g_n = meta["base"]["n_docs"] + sum(g["n_docs"] for g in gens) + n_new
+        g_sum = meta["base"]["sum_dl"] + sum(g["sum_dl"] for g in gens) + sum_new
+        g_avg = g_sum / max(g_n, 1)
+        # encode the delta at the NEW global avgdl: the freshest
+        # generation gets tight bounds; older sets fall back to the
+        # drift-safe (tf_max, dl_min) bound as avgdl moves
+        lineage = self._encode_segments(postings, f"{groot}/segments", g_avg, [groot])
+        gens.append(
+            {
+                "id": gid,
+                "avgdl_enc": g_avg,
+                "n_docs": n_new,
+                "sum_dl": sum_new,
+                "runs": new,
+                "merged_source": src,
+            }
+        )
+        meta.update(n_docs=g_n, avgdl=g_avg, sum_dl=g_sum, generations=gens)
+        _atomic_write_json(f"{self.dir}/_meta.json", meta)
+        self._commit(
+            f"generation-{gid}",
+            gen_id=gid,
+            runs=new,
+            n_docs=n_new,
+            sum_dl=sum_new,
+            avgdl_enc=g_avg,
+            postings_merged=n_rows,
+            segments_built=lineage["segments_built"],
+            bytes_compressed=lineage["bytes_compressed"],
+        )
+        return gid
+
+    def compact(
+        self,
+        max_generations: int = 8,
+        max_avgdl_drift: float = 0.25,
+        fanin: int = 8,
+        force: bool = False,
+    ) -> str | None:
+        """Size-tiered generation compaction.
+
+        Triggers when the generation count exceeds ``max_generations``
+        (query-side segment-set fan-out) or when a generation's
+        encode-time avgdl has drifted more than ``max_avgdl_drift`` from
+        the current global avgdl (its stored block maxima are still
+        *admissible* via the (tf_max, dl_min) fallback, but increasingly
+        loose → wasted block decodes).  Victims: every drifted
+        generation plus the smallest generations (by Σdl) until at most
+        ``max_generations // 2`` survive; their runs re-merge into ONE
+        new generation encoded at the current avgdl.  The base segment
+        set only rewrites on an explicit full rebuild.  Returns the new
+        generation id or ``None`` when nothing triggered."""
+        meta = self.meta()
+        gens = meta.get("generations", [])
+        if not gens:
+            return None
+        avgdl_now = float(meta["avgdl"])
+        drifted = {
+            g["id"]
+            for g in gens
+            if abs(avgdl_now / float(g["avgdl_enc"]) - 1.0) > max_avgdl_drift
+        }
+        if not force and len(gens) <= max_generations and not drifted:
+            return None
+        if force:
+            victims = {g["id"] for g in gens}
+        else:
+            victims = set(drifted)
+            keep_budget = max(max_generations // 2, 0)
+            for g in sorted(gens, key=lambda g: g["sum_dl"]):
+                if len(gens) - len(victims) <= keep_budget and len(victims) >= 2:
+                    break
+                victims.add(g["id"])
+            if len(victims) < 2 and not drifted:
+                return None
+        vruns = sorted(
+            r for g in gens if g["id"] in victims for r in g["runs"]
+        )
+        gid = self._next_gen_id()
+        groot = f"{self.dir}/generations/{gid}"
+        src, _ = self._merge_waves(
+            [f"{self.dir}/runs/{r}" for r in vruns],
+            f"{groot}/merged", f"genmerge-{gid}", fanin,
+        )
+        postings = self.spark.read.parquet(f"{src}/postings")
+        n_new, _avg, sum_new = self._write_doc_term_stats(postings, groot)
+        lineage = self._encode_segments(
+            postings, f"{groot}/segments", avgdl_now, [groot]
+        )
+        survivors = [g for g in gens if g["id"] not in victims]
+        survivors.append(
+            {
+                "id": gid,
+                "avgdl_enc": avgdl_now,
+                "n_docs": n_new,
+                "sum_dl": sum_new,
+                "runs": vruns,
+                "merged_source": src,
+            }
+        )
+        # same docs, same global stats — only the generation list changes
+        meta.update(generations=survivors)
+        _atomic_write_json(f"{self.dir}/_meta.json", meta)
+        self._commit(
+            f"generation-{gid}",
+            gen_id=gid,
+            runs=vruns,
+            n_docs=n_new,
+            sum_dl=sum_new,
+            avgdl_enc=avgdl_now,
+            compacted_from=sorted(victims),
+            segments_built=lineage["segments_built"],
+            bytes_compressed=lineage["bytes_compressed"],
+        )
+        # victims are unreferenced once meta points away — reclaim
+        for vid in victims:
+            fsio.rmtree(f"{self.dir}/generations/{vid}")
+            for fn in fsio.listdir(f"{self.dir}/manifests"):
+                if fn == f"generation-{vid}.json" or fn.startswith(
+                    f"genmerge-{vid}-"
+                ):
+                    fsio.remove(f"{self.dir}/manifests/{fn}")
+        return gid
+
+
+# -- generation-aware readers (query side) ----------------------------------
+
+
+def load_index_meta(index_dir: str) -> dict:
+    return fsio.read_json(f"{index_dir}/_meta.json")
+
+
+def doc_stats_roots(index_dir: str, meta: dict) -> list[str]:
+    """Roots whose ``doc_stats/doc_bucket=*`` dirs hold the corpus's doc
+    lengths: the base index dir + every committed generation dir."""
+    return [index_dir] + [
+        f"{index_dir}/generations/{g['id']}"
+        for g in meta.get("generations", [])
+    ]
+
+
+def _union_frames(frames: list[DataFrame]) -> DataFrame:
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def load_segments(spark: SparkSession, index_dir: str, meta: dict) -> DataFrame:
+    """Union of the base + generation segment sets, each tagged with its
+    encode-time avgdl (``_avgdl_enc``) so the query kernel can apply the
+    drift-safe block bound.  Separate per-root loads (not a multi-path
+    read): sibling partitioned roots trip Spark's directory-structure
+    inference, and each root needs its own literal column anyway."""
+    frames = [
+        spark.read.parquet(f"{index_dir}/segments").withColumn(
+            "_avgdl_enc",
+            F.lit(float(meta.get("base", {}).get("avgdl_enc", meta["avgdl"]))),
+        )
+    ]
+    for g in meta.get("generations", []):
+        frames.append(
+            spark.read.parquet(
+                f"{index_dir}/generations/{g['id']}/segments"
+            ).withColumn("_avgdl_enc", F.lit(float(g["avgdl_enc"])))
+        )
+    return _union_frames(frames)
+
+
+def load_term_stats(spark: SparkSession, index_dir: str, meta: dict) -> DataFrame:
+    """Global (term, df): base term_stats plus per-generation deltas,
+    summed.  The aggregation is lazy — a query-side ``term IN (...)``
+    filter pushes below the union into each root's term-sorted parquet
+    (row-group pruning per set), so per-query cost is bounded by
+    |query terms| × generations, and no refresh-time O(vocabulary)
+    merge job exists at all."""
+    frames = [spark.read.parquet(f"{index_dir}/term_stats")]
+    for g in meta.get("generations", []):
+        frames.append(
+            spark.read.parquet(f"{index_dir}/generations/{g['id']}/term_stats")
+        )
+    if len(frames) == 1:
+        return frames[0]
+    return _union_frames(frames).groupBy("term").agg(F.sum("df").alias("df"))
+
+
+def load_doc_stats(spark: SparkSession, index_dir: str, meta: dict) -> DataFrame:
+    """(docID, dl) across base + generations (docIDs disjoint)."""
+    frames = [
+        spark.read.parquet(f"{index_dir}/doc_stats").select("docID", "dl")
+    ]
+    for g in meta.get("generations", []):
+        frames.append(
+            spark.read.parquet(
+                f"{index_dir}/generations/{g['id']}/doc_stats"
+            ).select("docID", "dl")
+        )
+    return _union_frames(frames)
+
+
+def load_merged_postings(spark: SparkSession, index_dir: str, meta: dict) -> DataFrame:
+    """(term, docID, tf) across the base merge output + every
+    generation's merge output — the exact-oracle input."""
+    manifests = [
+        fsio.read_json(f"{index_dir}/manifests/{fn}")
+        for fn in fsio.listdir(f"{index_dir}/manifests")
+        if fn.endswith(".json")
+    ]
+    final = [m for m in manifests if m.get("unit") == "merged-final"]
+    if not final:
+        raise ValueError("index has no merged-final manifest")
+    frames = [
+        spark.read.parquet(f"{final[0]['source']}/postings").select(
+            "term", "docID", "tf"
+        )
+    ]
+    for g in meta.get("generations", []):
+        frames.append(
+            spark.read.parquet(f"{g['merged_source']}/postings").select(
+                "term", "docID", "tf"
+            )
+        )
+    return _union_frames(frames)
+
 
 def purge_index(index_dir: str) -> None:
     """S13 purge: drop every index artifact (segments, stats, runs,
-    merges, manifests) — the reference's cascade purge + VACUUM
-    (``/root/reference/db/db_manager.py:145-165``)."""
+    merges, generations, manifests) — the reference's cascade purge +
+    VACUUM (``/root/reference/db/db_manager.py:145-165``)."""
     for sub in ("segments", "doc_stats", "term_stats", "docs", "runs",
-                "merged", "manifests", "lineage_segments.json", "_meta.json"):
+                "merged", "generations", "manifests",
+                "lineage_segments.json", "_meta.json"):
         fsio.rmtree(f"{index_dir}/{sub}")
 
 
 def purge_run(index_dir: str, run_id: str) -> None:
     """S13 per-source purge: drop one run and the downstream merge /
-    finalize artifacts it contributed to (they must rebuild)."""
+    finalize / generation artifacts it contributed to (they must
+    rebuild — finalize() rewrites ``_meta.json`` fresh with an empty
+    generation list)."""
     fsio.rmtree(f"{index_dir}/runs/{run_id}")
     mdir = f"{index_dir}/manifests"
     for fn in fsio.listdir(mdir):
@@ -751,7 +1145,9 @@ def purge_run(index_dir: str, run_id: str) -> None:
         # also delete manifests of runs whose id merely extends run_id
         # (purging "stream0001" must not touch "stream00010")
         if fn == f"run-{run_id}.json" or fn.startswith(
-            ("merge-", "merged-final", "finalize")
+            ("merge-", "merged-final", "finalize", "generation-", "genmerge-")
         ):
             fsio.remove(f"{mdir}/{fn}")
     fsio.rmtree(f"{index_dir}/merged")
+    fsio.rmtree(f"{index_dir}/generations")
+    fsio.rmtree(f"{index_dir}/_meta.json")

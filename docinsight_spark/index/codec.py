@@ -79,6 +79,15 @@ class BlockMeta:
     offset: np.ndarray      # int64 payload byte offset of block start
     doc_bytes: np.ndarray   # int32 length of the docID section
     max_score: np.ndarray   # float32 block-max BM25 contribution
+    # Drift-safe bound inputs (incremental generations): the stored
+    # max_score bakes in encode-time avgdl, which goes stale as the
+    # corpus grows.  (tf_max, dl_min) let the query side recompute an
+    # admissible block bound under the CURRENT avgdl — the tf-normalized
+    # score is increasing in tf and decreasing in dl, so
+    # s(tf_max, dl_min, avgdl_now) upper-bounds every posting in the
+    # block at any avgdl.  None on indexes encoded before v4.
+    tf_max: np.ndarray | None = None   # int64 per block
+    dl_min: np.ndarray | None = None   # int64 per block
 
 
 def encode_postings(
@@ -86,16 +95,23 @@ def encode_postings(
     tfs: np.ndarray,
     scores: np.ndarray,
     block_size: int = BLOCK_SIZE,
+    dls: np.ndarray | None = None,
 ) -> tuple[bytes, BlockMeta]:
-    """Encode one term's posting list (sorted by docID ascending)."""
+    """Encode one term's posting list (sorted by docID ascending).
+
+    ``dls`` (per-posting document lengths, same order as ``doc_ids``)
+    feeds the per-block ``dl_min`` drift-safe bound; omitted → the
+    block bound arrays are zero-length-safe defaults (dl_min=1)."""
     order = np.argsort(doc_ids, kind="stable")
     doc_ids = doc_ids[order].astype(np.int64)
     tfs = tfs[order].astype(np.uint64)
     scores = scores[order].astype(np.float32)
+    dl_sorted = dls[order].astype(np.int64) if dls is not None else None
     n = len(doc_ids)
     n_blocks = (n + block_size - 1) // block_size
     chunks: list[np.ndarray] = []
     first, last, bn, off, dbytes, mx = [], [], [], [], [], []
+    tfm, dlm = [], []
     pos = 0
     u = doc_ids.view(np.uint64)
     for bi in range(n_blocks):
@@ -112,6 +128,8 @@ def encode_postings(
         off.append(pos)
         dbytes.append(len(db))
         mx.append(scores[lo:hi].max())
+        tfm.append(int(tfs[lo:hi].max()))
+        dlm.append(int(dl_sorted[lo:hi].min()) if dl_sorted is not None else 1)
         chunks.append(db)
         chunks.append(tb)
         pos += len(db) + len(tb)
@@ -123,6 +141,8 @@ def encode_postings(
         offset=np.asarray(off, dtype=np.int64),
         doc_bytes=np.asarray(dbytes, dtype=np.int32),
         max_score=np.asarray(mx, dtype=np.float32),
+        tf_max=np.asarray(tfm, dtype=np.int64),
+        dl_min=np.asarray(dlm, dtype=np.int64),
     )
     return payload, meta
 

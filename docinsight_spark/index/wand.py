@@ -49,8 +49,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from docinsight_spark.index.builder import (
+    doc_stats_roots,
+    load_segments,
+    load_term_stats,
     lookup_dl,
-    read_doc_stats_bucket,
+    read_doc_stats_bucket_multi,
     strict_dl_enabled,
 )
 from docinsight_spark.index.codec import BlockMeta, decode_block
@@ -231,8 +234,8 @@ class Searcher:
         self.spark = spark
         self.index_dir = index_dir
         self.meta = _load_meta(index_dir)
-        self.segments = spark.read.parquet(f"{index_dir}/segments")
-        self.term_stats = spark.read.parquet(f"{index_dir}/term_stats")
+        self.segments = load_segments(spark, index_dir, self.meta)
+        self.term_stats = load_term_stats(spark, index_dir, self.meta)
         if cache:
             self.segments = self.segments.cache()
             self.term_stats = self.term_stats.cache()
@@ -384,9 +387,10 @@ def wand_search(
     if query_chunk_size is None:
         query_chunk_size = QUERY_CHUNK_SIZE
     meta = _meta or _load_meta(index_dir)
-    if int(meta.get("version", 0)) < 3:
+    if int(meta.get("version", 0)) < 4:
         raise ValueError(
-            "index was built by an older engine version (segments carried "
+            "index was built by an older engine version (segments lack the "
+            "drift-safe (tf_max, dl_min) block bounds and/or carried "
             "idf-baked block maxima); rebuild the index"
         )
     if code_aware is None:
@@ -401,11 +405,15 @@ def wand_search(
     k1, b = float(meta["k1"]), float(meta["b"])
     n_shards = int(meta["n_buckets"]) * int(meta.get("n_subs", 1))
 
-    base = _segments if _segments is not None else spark.read.parquet(
-        f"{index_dir}/segments"
+    base = _segments if _segments is not None else load_segments(
+        spark, index_dir, meta
     )
-    tstats = _tstats if _tstats is not None else spark.read.parquet(
-        f"{index_dir}/term_stats"
+    if "_avgdl_enc" not in base.columns:
+        # caller-supplied raw segment frame: treat as freshly encoded
+        # (exact for a base-only index, where avgdl_now == encode avgdl)
+        base = base.withColumn("_avgdl_enc", F.lit(float(avgdl)))
+    tstats = _tstats if _tstats is not None else load_term_stats(
+        spark, index_dir, meta
     )
     if qmap is not None:
         qids = sorted(qmap)
@@ -416,10 +424,11 @@ def wand_search(
     else:
         # large batch: per-wave driver collection — bounded footprint
         waves = _wave_qmaps(queries, code_aware, query_chunk_size, stats_out)
+    dl_roots = doc_stats_roots(index_dir, meta)
     local = None
     for wi, wave in enumerate(waves):
         part = _wave_local_topk(
-            spark, base, tstats, wave, index_dir,
+            spark, base, tstats, wave, dl_roots,
             n_docs, avgdl, k1, b, k, n_shards,
         )
         local = part if local is None else local.unionByName(part)
@@ -442,7 +451,7 @@ def _wave_local_topk(
     base: DataFrame,
     tstats: DataFrame,
     qmap: dict[int, list[str]],
-    index_dir: str,
+    dl_roots: list[str],
     n_docs: int,
     avgdl: float,
     k1: float,
@@ -482,14 +491,36 @@ def _wave_local_topk(
             subs = pdf["doc_sub"].to_numpy()
             terms = pdf["term"].to_numpy()
             dfs = pdf["df"].to_numpy()
+            encs = pdf["_avgdl_enc"].to_numpy()
             fdoc, ldoc = pdf["first_doc"].values, pdf["last_doc"].values
             bns, offs = pdf["bn"].values, pdf["offsets"].values
             dbs, mxs = pdf["doc_bytes"].values, pdf["max_score"].values
+            tfms, dlms = pdf["tf_max"].values, pdf["dl_min"].values
             pays = pdf["payload"].values
             for i in range(len(pdf)):
                 mx = np.asarray(mxs[i], np.float32)
                 df_i = float(dfs[i])
                 idf_i = float(np.log((n_docs - df_i + 0.5) / (df_i + 0.5) + 1.0))
+                # Drift-safe upper bound: stored block maxima bake in the
+                # segment set's encode-time avgdl.  The tf-normalized
+                # score is increasing in avgdl, so when the corpus has
+                # grown past it (avgdl > _avgdl_enc) the stored maxima
+                # may UNDER-bound — recompute an admissible bound from
+                # (tf_max, dl_min) under the current avgdl (score is
+                # increasing in tf, decreasing in dl).  When avgdl ≤
+                # encode-time, stored maxima over-bound (admissible) and
+                # the min of the two bounds keeps pruning tight.
+                if len(mx):
+                    tfm = np.asarray(tfms[i], np.float64)
+                    dlm = np.asarray(dlms[i], np.float64)
+                    bound = tfm * (k1 + 1.0) / (
+                        tfm + k1 * (1.0 - b + b * dlm / avgdl)
+                    )
+                    if avgdl <= float(encs[i]) * (1.0 + 1e-12):
+                        bound = np.minimum(bound, mx.astype(np.float64))
+                    upper_i = idf_i * float(bound.max())
+                else:
+                    upper_i = 0.0
                 meta_i = BlockMeta(
                     first_doc=np.asarray(fdoc[i], np.int64),
                     last_doc=np.asarray(ldoc[i], np.int64),
@@ -498,17 +529,14 @@ def _wave_local_topk(
                     doc_bytes=np.asarray(dbs[i], np.int32),
                     max_score=mx,
                 )
-                row = _SegRow(
-                    terms[i], df_i, meta_i, pays[i],
-                    idf_i * float(mx.max()) if len(mx) else 0.0,
-                )
+                row = _SegRow(terms[i], df_i, meta_i, pays[i], upper_i)
                 by_shard.setdefault((int(bks[i]), int(subs[i])), []).append(row)
 
         dl_cache: dict[int, tuple | None] = {}
 
         def dl_lookup(bucket: int):
             if bucket not in dl_cache:
-                ds = read_doc_stats_bucket(index_dir, bucket)
+                ds = read_doc_stats_bucket_multi(dl_roots, bucket)
                 if ds is None:
                     dl_cache[bucket] = None
                 else:

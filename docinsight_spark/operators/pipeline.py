@@ -92,8 +92,11 @@ def analyze_documents(
     from docinsight_spark.functions.tokenizer import code_tokens_udf
     from docinsight_spark.index import fsio
 
-    n_docs = int(fsio.read_json(f"{index_dir}/_meta.json")["n_docs"])
-    ts = spark.read.parquet(f"{index_dir}/term_stats")
+    from docinsight_spark.index.builder import load_term_stats
+
+    _meta = fsio.read_json(f"{index_dir}/_meta.json")
+    n_docs = int(_meta["n_docs"])
+    ts = load_term_stats(spark, index_dir, _meta)
     qterms = chunks.select(
         "doc_id", "idx",
         F.explode_outer(

@@ -6,9 +6,10 @@ The reference's only "continuous" behavior is incremental index update
 equivalent: a Structured Streaming file source feeding
 ``foreachBatch`` — every micro-batch becomes one postings *run* (same
 unit as batch ingest, same manifests), and a periodic ``refresh``
-merges runs and re-finalizes segments.  Exactly-once comes from the
-combination of the streaming checkpoint (offsets) and the builder's
-idempotent, manifest-guarded runs keyed by batch id.
+folds only the NEW runs into a delta segment generation (O(delta), not
+O(corpus) — see ``IndexBuilder.refresh_delta``).  Exactly-once comes
+from the combination of the streaming checkpoint (offsets) and the
+builder's idempotent, manifest-guarded runs keyed by batch id.
 """
 
 from __future__ import annotations
@@ -51,16 +52,14 @@ def stream_ingest(
     return writer.start()
 
 
-def refresh(builder: IndexBuilder, fanin: int = 8) -> None:
-    """Merge accumulated stream runs and rebuild segments/stats.
+def refresh(builder: IndexBuilder, fanin: int = 8) -> str | None:
+    """Fold accumulated stream runs into the queryable index — O(delta).
 
-    Clears the merge/finalize manifests so the wave plan recomputes over
-    the new run set (completed *runs* stay cached — only the merge tree
-    re-executes, which is the part invalidated by new data)."""
-    from docinsight_spark.index import fsio
-
-    for fn in fsio.listdir(f"{builder.dir}/manifests"):
-        if fn.startswith(("merge-", "merged-final", "finalize")):
-            fsio.remove(f"{builder.dir}/manifests/{fn}")
-    builder.merge_all(fanin=fanin)
-    builder.finalize()
+    First call (no finalized base yet) performs the full base build;
+    every later call merges and encodes ONLY the runs added since the
+    last refresh into a new segment generation
+    (:meth:`IndexBuilder.refresh_delta`) — the base segments are never
+    re-merged or re-encoded, so refresh cost tracks the delta size, not
+    the corpus size.  Periodically call :meth:`IndexBuilder.compact` to
+    fold small/drifted generations."""
+    return builder.refresh_delta(fanin=fanin)

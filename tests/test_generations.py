@@ -1,0 +1,177 @@
+"""O(delta) incremental refresh: segment generations + drift-safe
+block maxima.
+
+The reference's incremental update
+(``/root/reference/index/index_manager.py:124-201``) only embeds/indexes
+new chunks; the engine analog is ``IndexBuilder.refresh_delta`` — new
+runs fold into a NEW segment generation, the base is never re-encoded,
+and global BM25 statistics (N, avgdl, df) stay exact, so fast-path
+results remain rank-identical to a from-scratch rebuild even as the
+corpus (and its avgdl) drifts.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from docinsight_spark.corpus import make_corpus, make_queries
+from docinsight_spark.evaluation import oracle_from_index
+from docinsight_spark.index.builder import IndexBuilder
+from docinsight_spark.index.wand import wand_search
+
+
+def _seg_state(d: str) -> dict[str, float]:
+    return {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{d}/segments/doc_bucket=*/*.parquet")
+    }
+
+
+def _res(df):
+    return sorted(
+        (int(r["query_id"]), int(r["rank"]), int(r["docID"]), float(r["score"]))
+        for r in df.collect()
+    )
+
+
+def _assert_same_results(a, b, atol=1e-9):
+    assert [(q, rk, d) for q, rk, d, _ in a] == [(q, rk, d) for q, rk, d, _ in b]
+    assert np.allclose([s for *_, s in a], [s for *_, s in b], atol=atol)
+
+
+@pytest.fixture(scope="module")
+def gen_setup(spark, tmp_path_factory):
+    """Incremental (base + 2 delta generations) vs one-shot rebuild."""
+    root = tmp_path_factory.mktemp("gens")
+    base = make_corpus(spark, 300, seed=1, partitions=4)
+    d1 = make_corpus(spark, 150, seed=2, partitions=2)
+    d2 = make_corpus(spark, 100, seed=3, partitions=2)
+
+    inc_dir = str(root / "inc")
+    b = IndexBuilder(spark, inc_dir, n_buckets=4)
+    b.build(base, n_runs=2, fanin=2)
+    base_files = _seg_state(inc_dir)
+
+    b.add_run(d1, "delta1")
+    gid1 = b.refresh_delta(fanin=2)
+    b.add_run(d2, "delta2")
+    gid2 = b.refresh_delta(fanin=2)
+
+    full_dir = str(root / "full")
+    IndexBuilder(spark, full_dir, n_buckets=4).build(
+        base.unionByName(d1).unionByName(d2), n_runs=2, fanin=2
+    )
+    return {
+        "builder": b,
+        "inc": inc_dir,
+        "full": full_dir,
+        "base_files": base_files,
+        "gids": [gid1, gid2],
+    }
+
+
+def test_refresh_builds_generations_without_touching_base(spark, gen_setup):
+    b = gen_setup["builder"]
+    assert gen_setup["gids"] == ["gen0001", "gen0002"]
+    # O(delta): the base segment files are bit-for-bit untouched
+    assert _seg_state(gen_setup["inc"]) == gen_setup["base_files"]
+    for gid in gen_setup["gids"]:
+        assert os.path.isdir(f"{gen_setup['inc']}/generations/{gid}/segments")
+    meta = b.meta()
+    assert meta["n_docs"] == 550
+    assert [g["id"] for g in meta["generations"]] == gen_setup["gids"]
+    # exact global stats: sum over base + generations
+    assert meta["sum_dl"] == meta["base"]["sum_dl"] + sum(
+        g["sum_dl"] for g in meta["generations"]
+    )
+    assert meta["avgdl"] == pytest.approx(meta["sum_dl"] / meta["n_docs"])
+
+
+def test_refresh_rank_identical_to_full_rebuild(spark, gen_setup):
+    q = make_queries(spark, corpus_n=300, n_queries=16)
+    inc = _res(wand_search(spark, gen_setup["inc"], q, k=10))
+    full = _res(wand_search(spark, gen_setup["full"], q, k=10))
+    assert len(inc) > 0
+    _assert_same_results(inc, full)
+
+
+def test_refresh_matches_exact_oracle(spark, gen_setup):
+    """Admissibility of the multi-generation fast path: block-max pruning
+    over three segment sets must lose nothing vs the exact scorer."""
+    q = make_queries(spark, corpus_n=300, n_queries=12)
+    fast = _res(wand_search(spark, gen_setup["inc"], q, k=10))
+    oracle = _res(oracle_from_index(spark, gen_setup["inc"], q, k=10))
+    _assert_same_results(fast, oracle)
+
+
+def test_refresh_noop_when_covered(spark, gen_setup):
+    b = gen_setup["builder"]
+    before = b.meta()
+    assert b.refresh_delta(fanin=2) is None
+    assert b.meta() == before
+    # merge_all sees generation-covered runs — no stale-run-set error
+    b.merge_all(fanin=2)
+
+
+def test_empty_delta_records_coverage(spark, tmp_path, tiny_corpus):
+    """A delta that fully dedups away must still mark its runs covered
+    (no dirs, no meta change) or every later call re-merges it."""
+    d = str(tmp_path / "empty_delta")
+    b = IndexBuilder(spark, d, n_buckets=4)
+    b.build(tiny_corpus)
+    before = b.meta()
+    b.add_run(tiny_corpus, "dupe")  # 100% overlap → gate removes all
+    gid = b.refresh_delta(fanin=2)
+    assert gid == "gen0001"
+    assert b.meta() == before
+    assert not os.path.isdir(f"{d}/generations/{gid}")
+    assert b.refresh_delta(fanin=2) is None
+    b.merge_all(fanin=2)  # covered → no error
+
+
+def test_drift_safe_bounds_when_avgdl_grows(spark, tmp_path):
+    """The admissibility stress: base encoded over SHORT docs, delta adds
+    LONG docs → global avgdl rises past the base's encode-time avgdl, so
+    the base's stored block maxima under-bound true scores.  The
+    (tf_max, dl_min) fallback bound must keep pruning admissible:
+    fast-path results stay rank-identical to the exact oracle."""
+    d = str(tmp_path / "drift")
+    b = IndexBuilder(spark, d, n_buckets=4)
+    short = make_corpus(spark, 250, seed=11, partitions=4, stmts_range=(3, 6))
+    long = make_corpus(spark, 250, seed=12, partitions=4, stmts_range=(40, 60))
+    b.build(short, n_runs=2, fanin=2)
+    b.add_run(long, "longdocs")
+    b.refresh_delta(fanin=2)
+    meta = b.meta()
+    # the test only means something if we really are in the drift regime
+    assert meta["avgdl"] > meta["base"]["avgdl_enc"] * 1.5
+    q = make_queries(spark, corpus_n=250, n_queries=16)
+    fast = _res(wand_search(spark, d, q, k=10))
+    oracle = _res(oracle_from_index(spark, d, q, k=10))
+    assert len(fast) > 0
+    _assert_same_results(fast, oracle)
+
+
+def test_compact_folds_generations_same_results(spark, gen_setup):
+    """Size-tiered compaction folds the delta generations into one; the
+    query surface must not move.  (Runs last in the module — it mutates
+    the shared index.)"""
+    b = gen_setup["builder"]
+    q = make_queries(spark, corpus_n=300, n_queries=12)
+    before = _res(wand_search(spark, gen_setup["inc"], q, k=10))
+    assert b.compact(max_generations=8) is None  # 2 gens, no drift: no-op
+    gid = b.compact(force=True, fanin=2)
+    assert gid == "gen0003"
+    meta = b.meta()
+    assert [g["id"] for g in meta["generations"]] == [gid]
+    assert meta["n_docs"] == 550  # same docs, same stats
+    for old in ("gen0001", "gen0002"):
+        assert not os.path.isdir(f"{gen_setup['inc']}/generations/{old}")
+    after = _res(wand_search(spark, gen_setup["inc"], q, k=10))
+    _assert_same_results(before, after)
+    # base still untouched through the whole lifecycle
+    assert _seg_state(gen_setup["inc"]) == gen_setup["base_files"]
