@@ -815,15 +815,19 @@ t AS (
 d AS (
   SELECT doc_id,
          length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
-           / greatest(length(text), 1)::DOUBLE AS alpha_ratio
+           / greatest(length(text), 1)::DOUBLE AS alpha_ratio,
+         length(replace(text, chr(10), ''))
+           / greatest(length(text) - length(replace(text, chr(10), '')) + 1,
+                      1)::DOUBLE AS mean_line
   FROM documents
 )
 SELECT t.doc_id,
-  round(0.25 * (CASE WHEN n >= 10 AND n <= 100000 THEN 1.0 ELSE 0.0 END)
-      + 0.2 * (CASE WHEN mean_wl >= 2.0 AND mean_wl <= 12.0 THEN 1.0 ELSE 0.0 END)
-      + 0.2 * least(stop_ratio * 5, 1.0)
+  round(0.2 * (CASE WHEN n >= 10 AND n <= 100000 THEN 1.0 ELSE 0.0 END)
+      + 0.15 * (CASE WHEN mean_wl >= 2.0 AND mean_wl <= 12.0 THEN 1.0 ELSE 0.0 END)
+      + 0.2 * (CASE WHEN mean_line >= 6.0 AND mean_line <= 150.0 THEN 1.0 ELSE 0.0 END)
+      + 0.15 * least(stop_ratio * 5, 1.0)
       + 0.2 * distinct_ratio
-      + 0.15 * alpha_ratio, 4) AS quality_score
+      + 0.1 * alpha_ratio + 0.000000001, 4) AS quality_score
 FROM t JOIN d USING (doc_id)""",
 )
 def quality_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -125,8 +125,13 @@ CORPUS_SCHEMA = "repo string, path string, commit string, lang string, content s
 
 def make_corpus(spark: SparkSession, n_files: int, seed: int = 42,
                 partitions: int | None = None,
-                stmts_range: tuple[int, int] = (6, 26)) -> DataFrame:
-    """Distributed deterministic corpus: ``spark.range(n) -> mapInPandas``."""
+                stmts_range: tuple[int, int] = (6, 26),
+                start: int = 0) -> DataFrame:
+    """Distributed deterministic corpus: ``spark.range -> mapInPandas``.
+
+    ``start`` offsets the file-id range (rows ``start..start+n_files``),
+    so overlapping / disjoint corpus slices for incremental-ingest
+    benchmarks come from the same deterministic generator."""
     rng_seed = seed
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -135,7 +140,7 @@ def make_corpus(spark: SparkSession, n_files: int, seed: int = 42,
                 [gen_file(int(i), rng_seed, stmts_range) for i in pdf["id"]]
             )
 
-    rng = spark.range(n_files, numPartitions=partitions)
+    rng = spark.range(start, start + n_files, numPartitions=partitions)
     return rng.mapInPandas(gen, schema=CORPUS_SCHEMA)
 
 
@@ -217,6 +222,51 @@ def make_plag_corpus(spark: SparkSession, n_cases: int = 7, seed: int = 42) -> D
     pdf["level"] = pdf["level"].astype("Int32")
     return spark.createDataFrame(
         pdf, schema=CORPUS_SCHEMA + ", case_id int, label string, level int, variant int")
+
+
+# ---------------------------------------------------------------------------
+# F4 — labeled quality-calibration corpus
+# ---------------------------------------------------------------------------
+
+def make_quality_labeled(
+    spark: SparkSession, n_clean: int = 200, n_noise: int = 200, seed: int = 42
+) -> DataFrame:
+    """(doc_id, text, noisy, noise_kind) — clean source files vs three
+    synthetic noise families: token-shuffled (structure destroyed, bag
+    of words intact), truncated fragments, and boilerplate repetition.
+    The engine's stand-in for the reference's labeled calibration data
+    (``/root/reference/fine_tuner.py:580-643`` sweeps thresholds against
+    labeled pairs).  Deterministic per (seed, row)."""
+    rows = []
+    for i in range(n_clean):
+        rows.append(
+            {
+                "doc_id": i,
+                "text": gen_file(i, seed)["content"],
+                "noisy": 0,
+                "noise_kind": "clean",
+            }
+        )
+    for j in range(n_noise):
+        rng = random.Random((seed << 8) ^ (j * 2654435761))
+        src = gen_file(500_000 + j, seed)["content"]
+        kind = j % 3
+        if kind == 0:  # token shuffle: same bag of words, no structure
+            toks = src.split()
+            rng.shuffle(toks)
+            text, nk = " ".join(toks), "shuffled"
+        elif kind == 1:  # truncated fragment (below any length gate)
+            text, nk = src[: rng.randrange(4, 30)], "truncated"
+        else:  # boilerplate repetition (degenerate distinct ratio)
+            phrase = " ".join(_vocab_word(rng) for _ in range(4))
+            text, nk = ((phrase + "\n") * rng.randrange(30, 80)), "repeated"
+        rows.append(
+            {"doc_id": n_clean + j, "text": text, "noisy": 1, "noise_kind": nk}
+        )
+    return spark.createDataFrame(
+        pd.DataFrame(rows),
+        schema="doc_id long, text string, noisy int, noise_kind string",
+    )
 
 
 # ---------------------------------------------------------------------------

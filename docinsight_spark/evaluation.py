@@ -103,4 +103,5 @@ def oracle_from_index(
     return search(
         queries, postings, tstats, dstats, stats, k=k,
         code_aware=bool(meta.get("code_aware", True)),
+        lang=str(meta.get("query_lang", "java")),
     )

@@ -382,6 +382,25 @@ class IndexBuilder:
             docs = self._gate_new_docs(docs, seen, seen_total)
 
         base = f"{self.dir}/runs/{run_id}"
+        from pyspark.sql import Observation
+
+        from docinsight_spark.functions.tokenizer import _MASKS
+
+        # per-run language mix as observed metrics of the docs write (no
+        # extra job): only the tokenizer's mask families matter — any
+        # other lang falls back to C-family masking anyway.  finalize /
+        # refresh derive the corpus-majority tokenizer lang from these so
+        # the QUERY side masks comments the same way the build side did
+        # (reference analog: the language detection gate,
+        # pipeline_ingest.py:63-75).  Majority vote is robust to the
+        # rare observe over-count under stage retry.
+        lang_obs = Observation(f"langs-{run_id}")
+        lang_metrics = [
+            F.sum(
+                F.when(F.lower(F.col("lang")) == lg, 1).otherwise(0)
+            ).alias(lg)
+            for lg in _MASKS
+        ]
         try:
             postings = self._sharded(build_postings(docs, code_aware=self.code_aware))
             # run postings are write-once-read-once intermediates (consumed by
@@ -393,7 +412,9 @@ class IndexBuilder:
             )
             docs.select(
                 "docID", "repo", "path", "commit", "lang", "content_sha"
-            ).write.mode("overwrite").parquet(f"{base}/docs")
+            ).observe(lang_obs, *lang_metrics).write.mode("overwrite").parquet(
+                f"{base}/docs"
+            )
         finally:
             # unpersist even when a write fails mid-run: a MEMORY_AND_DISK
             # gate frame must not outlive its run attempt (it would leak
@@ -403,7 +424,27 @@ class IndexBuilder:
             self._gate_cache.clear()
         n_postings, _ = _footer_rows(f"{base}/postings", spark=self.spark)
         n_docs, _ = _footer_rows(f"{base}/docs", spark=self.spark)
-        self._commit(unit, run_id=run_id, postings=n_postings, docs=n_docs)
+        lang_row = dict(lang_obs.get)  # PySpark 4 returns a plain dict
+        langs = {lg: int(n or 0) for lg, n in lang_row.items()}
+        langs = {lg: n for lg, n in langs.items() if n > 0}
+        self._commit(
+            unit, run_id=run_id, postings=n_postings, docs=n_docs, langs=langs
+        )
+
+    def _majority_lang(self, run_ids: set[str] | None = None) -> str:
+        """Corpus-majority tokenizer lang over the given runs' manifests
+        (deterministic tie-break: higher count, then lexicographic)."""
+        counts: dict[str, int] = {}
+        for m in self.manifests():
+            if not m["unit"].startswith("run-"):
+                continue
+            if run_ids is not None and m["run_id"] not in run_ids:
+                continue
+            for lg, n in m.get("langs", {}).items():
+                counts[lg] = counts.get(lg, 0) + int(n)
+        if not counts:
+            return "java"
+        return sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
 
     def _gate_new_docs(
         self, docs: DataFrame, seen: DataFrame, seen_total: int
@@ -658,6 +699,7 @@ class IndexBuilder:
             "k1": self.k1,
             "b": self.b,
             "code_aware": self.code_aware,
+            "query_lang": self._majority_lang(set(base_runs) or None),
             "version": 4,
             # the base segment set's encode-time stats: generations added
             # later shift the global avgdl, and the query side needs the
@@ -915,7 +957,16 @@ class IndexBuilder:
                 "merged_source": src,
             }
         )
-        meta.update(n_docs=g_n, avgdl=g_avg, sum_dl=g_sum, generations=gens)
+        covered_ids = set(meta["base"].get("runs", [])) | {
+            r for g in gens for r in g["runs"]
+        }
+        meta.update(
+            n_docs=g_n,
+            avgdl=g_avg,
+            sum_dl=g_sum,
+            generations=gens,
+            query_lang=self._majority_lang(covered_ids or None),
+        )
         _atomic_write_json(f"{self.dir}/_meta.json", meta)
         self._commit(
             f"generation-{gid}",

@@ -256,7 +256,7 @@ DRIVER_TOKENIZE_MAX = 512
 
 
 def _query_term_map(
-    queries: DataFrame, code_aware: bool, driver_max: int
+    queries: DataFrame, code_aware: bool, driver_max: int, lang: str = "java"
 ) -> dict[int, list[str]] | None:
     """{query_id: sorted distinct terms} for batches small enough to
     tokenize on the driver; ``None`` for larger batches — callers then
@@ -271,7 +271,7 @@ def _query_term_map(
 
         toks = tokenize_code_pandas(
             pd.Series([r["query_text"] for r in head]),
-            pd.Series(["java"] * len(head)),
+            pd.Series([lang] * len(head)),
         )
     else:
         import re as _re
@@ -297,6 +297,7 @@ def _wave_qmaps(
     code_aware: bool,
     chunk: int,
     stats_out: dict | None = None,
+    lang: str = "java",
 ):
     """Yield per-wave {query_id: terms} dicts for a LARGE query batch.
 
@@ -314,7 +315,7 @@ def _wave_qmaps(
     )
 
     tok = (
-        code_tokens_udf(F.col("query_text"), F.lit("java"))
+        code_tokens_udf(F.col("query_text"), F.lit(lang))
         if code_aware
         else simple_tokens_col("query_text")
     )
@@ -395,10 +396,14 @@ def wand_search(
         )
     if code_aware is None:
         code_aware = bool(meta.get("code_aware", True))
+    # query-side tokenizer lang parity: a Python-majority corpus masks
+    # `#` comments at build time — queries must mask them the same way
+    # (recorded by finalize/refresh from the runs' lang mix)
+    qlang = str(meta.get("query_lang", "java"))
     empty = spark.createDataFrame(
         [], "query_id long, rank int, docID long, score double"
     )
-    qmap = _query_term_map(queries, code_aware, driver_tokenize_max)
+    qmap = _query_term_map(queries, code_aware, driver_tokenize_max, qlang)
     if qmap is not None and not any(qmap.values()):
         return empty
     n_docs, avgdl = int(meta["n_docs"]), float(meta["avgdl"])
@@ -423,7 +428,9 @@ def wand_search(
         )
     else:
         # large batch: per-wave driver collection — bounded footprint
-        waves = _wave_qmaps(queries, code_aware, query_chunk_size, stats_out)
+        waves = _wave_qmaps(
+            queries, code_aware, query_chunk_size, stats_out, qlang
+        )
     dl_roots = doc_stats_roots(index_dir, meta)
     local = None
     for wi, wave in enumerate(waves):

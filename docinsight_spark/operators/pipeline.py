@@ -100,7 +100,12 @@ def analyze_documents(
     qterms = chunks.select(
         "doc_id", "idx",
         F.explode_outer(
-            F.array_distinct(code_tokens_udf(F.col("sentence"), F.lit("java")))
+            F.array_distinct(
+                code_tokens_udf(
+                    F.col("sentence"),
+                    F.lit(str(_meta.get("query_lang", "java"))),
+                )
+            )
         ).alias("term"),
     )
     idf = F.log(

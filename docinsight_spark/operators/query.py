@@ -28,12 +28,16 @@ from docinsight_spark.functions.tokenizer import code_tokens_udf, simple_tokens_
 from docinsight_spark.operators.postings import CorpusStats
 
 
-def query_terms(queries: DataFrame, code_aware: bool = True) -> DataFrame:
+def query_terms(
+    queries: DataFrame, code_aware: bool = True, lang: str = "java"
+) -> DataFrame:
     """(query_id, term) — distinct query terms (bag-of-words retrieval;
     repeated query terms count once, like the reference's sentence-level
-    query embedding collapses repetition)."""
+    query embedding collapses repetition).  ``lang`` picks the comment /
+    string masking family — pass the index's recorded corpus-majority
+    lang (``_meta.json: query_lang``) for build/query parity."""
     tok = (
-        code_tokens_udf(F.col("query_text"), F.lit("java"))
+        code_tokens_udf(F.col("query_text"), F.lit(lang))
         if code_aware
         else simple_tokens_col("query_text")
     )
@@ -105,6 +109,7 @@ def search(
     k: int = DEFAULT_TOP_K,
     min_score: float | None = None,
     code_aware: bool = True,
+    lang: str = "java",
 ) -> DataFrame:
     """End-to-end oracle search; optionally enrich with doc metadata.
 
@@ -114,7 +119,7 @@ def search(
     (``index/index_manager.py:258-286``) — the top-k side is tiny, so
     Catalyst broadcasts it against the docs dimension.
     """
-    qt = query_terms(queries, code_aware=code_aware)
+    qt = query_terms(queries, code_aware=code_aware, lang=lang)
     ranked = topk(bm25_scores(qt, postings, tstats, dstats, stats), k=k)
     if min_score is not None:
         ranked = ranked.filter(F.col("score") >= F.lit(min_score))
@@ -135,6 +140,7 @@ def search_rerank(
     k: int = DEFAULT_TOP_K,
     overfetch: int = 2,
     code_aware: bool = True,
+    lang: str = "java",
     rescore=None,
 ) -> DataFrame:
     """T7 two-stage retrieval: over-fetch ``overfetch·k`` candidates with
@@ -150,7 +156,7 @@ def search_rerank(
     callable ((query_id, docID, score) → (query_id, docID, score))
     plugs in a genuinely different stage-2 model, the cross-encoder
     analog."""
-    qt = query_terms(queries, code_aware=code_aware)
+    qt = query_terms(queries, code_aware=code_aware, lang=lang)
     stage1 = topk(bm25_scores(qt, postings, tstats, dstats, stats), k=overfetch * k)
     cand = stage1.select("query_id", "docID", "score")
     if rescore is not None:

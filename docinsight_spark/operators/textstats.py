@@ -45,12 +45,35 @@ def language_id(
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Composite [0,1] quality signal: length band, mean word length band,
-    stopword presence, alpha ratio, repetition (distinct/total tokens).
+# Calibrated on the labeled noise corpus (corpus.make_quality_labeled:
+# token-shuffled / truncated / boilerplate-repeated vs clean files) by
+# operators.textstats.calibrate_quality_bands — best-F1 bands recorded
+# in COVERAGE.md; the reference calibrates its thresholds the same way
+# against labeled pairs (/root/reference/fine_tuner.py:580-643).
+DEFAULT_LENGTH_BAND = (10, 100_000)   # whitespace tokens
+DEFAULT_WL_BAND = (2.0, 12.0)         # mean word length (chars)
+DEFAULT_LINE_BAND = (6.0, 150.0)      # mean line length (chars)
+# flag as noise below this composite score (calibrated F1 = 0.9975,
+# precision 1.0 / recall 0.995 on the 200+200 labeled set)
+DEFAULT_QUALITY_THRESHOLD = 0.7
+
+
+def quality_score(
+    df: DataFrame,
+    text_col: str = "text",
+    length_band: tuple[float, float] = DEFAULT_LENGTH_BAND,
+    wl_band: tuple[float, float] = DEFAULT_WL_BAND,
+    line_band: tuple[float, float] = DEFAULT_LINE_BAND,
+) -> DataFrame:
+    """Composite [0,1] quality signal: length band, mean word length
+    band, mean LINE length band, stopword presence, alpha ratio,
+    repetition (distinct/total tokens).
 
     Mirrors the shape of C4/Gopher-style heuristic filters; each factor
-    is a bounded column expression."""
+    is a bounded column expression.  The line-length band is the
+    order-sensitive factor (Gopher filters on mean line length): token-
+    shuffled or minified noise collapses to one enormous line that no
+    bag-of-words factor can see."""
     toks = simple_tokens_col(text_col)
     n = F.size(toks)
     mean_wl = F.aggregate(
@@ -61,16 +84,119 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     alpha_ratio = F.length(
         F.regexp_replace(F.col(text_col), r"[^A-Za-z ]", "")
     ) / F.greatest(F.length(text_col), F.lit(1))
-    length_ok = F.when((n >= 10) & (n <= 100000), 1.0).otherwise(0.0)
-    wl_ok = F.when((mean_wl >= 2.0) & (mean_wl <= 12.0), 1.0).otherwise(0.0)
+    # mean line length = chars excluding newlines / line count — integer
+    # inputs, so the double ratio replays bit-identically in ANSI SQL
+    chars_nonl = F.length(F.regexp_replace(F.col(text_col), "\n", ""))
+    n_lines = F.length(F.col(text_col)) - chars_nonl + 1
+    mean_line = chars_nonl / F.greatest(n_lines, F.lit(1))
+    length_ok = F.when(
+        (n >= length_band[0]) & (n <= length_band[1]), 1.0
+    ).otherwise(0.0)
+    wl_ok = F.when(
+        (mean_wl >= wl_band[0]) & (mean_wl <= wl_band[1]), 1.0
+    ).otherwise(0.0)
+    line_ok = F.when(
+        (mean_line >= line_band[0]) & (mean_line <= line_band[1]), 1.0
+    ).otherwise(0.0)
     score = (
-        0.25 * length_ok
-        + 0.2 * wl_ok
-        + 0.2 * F.least(stop_ratio * 5, F.lit(1.0))
+        0.2 * length_ok
+        + 0.15 * wl_ok
+        + 0.2 * line_ok
+        + 0.15 * F.least(stop_ratio * 5, F.lit(1.0))
         + 0.2 * distinct_ratio
-        + 0.15 * alpha_ratio
+        + 0.1 * alpha_ratio
     )
-    return df.withColumn("quality_score", F.round(score, 4))
+    # +1e-9 before rounding: ratio sums can land EXACTLY on a x.00005
+    # boundary where round() semantics differ across engines (Spark
+    # half-up vs DuckDB half-even); the nudge shifts the halfway case
+    # strictly above .5 on BOTH sides and is invisible elsewhere
+    return df.withColumn("quality_score", F.round(score + 1e-9, 4))
+
+
+def calibrate_quality_bands(
+    df: DataFrame,
+    text_col: str = "text",
+    label_col: str = "noisy",
+    length_bands: tuple = ((5, 100_000), (10, 100_000), (20, 100_000)),
+    wl_bands: tuple = ((2.0, 12.0), (2.5, 10.0), (3.0, 9.0)),
+    line_bands: tuple = ((6.0, 150.0), (8.0, 120.0), (10.0, 100.0)),
+) -> dict:
+    """Grid-sweep the band parameters and the decision threshold; pick
+    the combination with the best F1 for flagging labeled noise
+    (``label_col`` = 1) — the engine analog of the reference's
+    threshold sweep over labeled pairs (fine_tuner.py:580-643).
+
+    One distributed pass computes the RAW features; the band/threshold
+    sweep then runs driver-side on the collected feature matrix — the
+    labeled calibration set is inherently small (synthetic or hand-
+    labeled), so the sweep is not a scale surface."""
+    import numpy as np
+
+    toks = simple_tokens_col(text_col)
+    n = F.size(toks)
+    chars_nonl = F.length(F.regexp_replace(F.col(text_col), "\n", ""))
+    n_lines = F.length(F.col(text_col)) - chars_nonl + 1
+    feats = df.select(
+        F.col(label_col).cast("int").alias("y"),
+        n.alias("n_toks"),
+        (
+            F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t))
+            / F.greatest(n, F.lit(1))
+        ).alias("mean_wl"),
+        _ratio(toks, LANG_MARKERS["en"]).alias("stop_ratio"),
+        (F.size(F.array_distinct(toks)) / F.greatest(n, F.lit(1))).alias(
+            "distinct_ratio"
+        ),
+        (
+            F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z ]", ""))
+            / F.greatest(F.length(text_col), F.lit(1))
+        ).alias("alpha_ratio"),
+        (chars_nonl / F.greatest(n_lines, F.lit(1))).alias("mean_line"),
+    ).toPandas()
+    y = feats["y"].to_numpy()
+    stop_term = np.minimum(feats["stop_ratio"].to_numpy() * 5, 1.0)
+    best = None
+    for lb in length_bands:
+        len_ok = (
+            (feats["n_toks"] >= lb[0]) & (feats["n_toks"] <= lb[1])
+        ).to_numpy().astype(float)
+        for wb in wl_bands:
+            wl_ok = (
+                (feats["mean_wl"] >= wb[0]) & (feats["mean_wl"] <= wb[1])
+            ).to_numpy().astype(float)
+            for lnb in line_bands:
+                ln_ok = (
+                    (feats["mean_line"] >= lnb[0])
+                    & (feats["mean_line"] <= lnb[1])
+                ).to_numpy().astype(float)
+                score = (
+                    0.2 * len_ok
+                    + 0.15 * wl_ok
+                    + 0.2 * ln_ok
+                    + 0.15 * stop_term
+                    + 0.2 * feats["distinct_ratio"].to_numpy()
+                    + 0.1 * feats["alpha_ratio"].to_numpy()
+                )
+                for tau in np.arange(0.05, 1.0, 0.05):
+                    pred = score < tau  # low quality → flagged noisy
+                    tp = int(np.sum(pred & (y == 1)))
+                    fp = int(np.sum(pred & (y == 0)))
+                    fn = int(np.sum(~pred & (y == 1)))
+                    p = tp / (tp + fp) if tp + fp else 0.0
+                    r = tp / (tp + fn) if tp + fn else 0.0
+                    f1 = 2 * p * r / (p + r) if p + r else 0.0
+                    cand = {
+                        "length_band": list(lb),
+                        "wl_band": list(wb),
+                        "line_band": list(lnb),
+                        "threshold": round(float(tau), 2),
+                        "f1": round(f1, 4),
+                        "precision": round(p, 4),
+                        "recall": round(r, 4),
+                    }
+                    if best is None or f1 > best["f1"]:
+                        best = cand
+    return best
 
 
 def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -144,6 +144,50 @@ def test_language_id_and_quality(spark):
     assert ((q["quality_score"] >= 0) & (q["quality_score"] <= 1)).all()
 
 
+def test_quality_calibration_separates_planted_noise(spark):
+    """The calibration sweep (reference analog: fine_tuner.py:580-643
+    threshold sweep over labeled pairs) must find bands that separate
+    the three planted noise families from clean files at high F1, and
+    the published defaults must BE a calibrated optimum."""
+    from docinsight_spark.corpus import make_quality_labeled
+    from docinsight_spark.operators.textstats import (
+        DEFAULT_LENGTH_BAND,
+        DEFAULT_LINE_BAND,
+        DEFAULT_QUALITY_THRESHOLD,
+        DEFAULT_WL_BAND,
+        calibrate_quality_bands,
+    )
+    from pyspark.sql import functions as F
+
+    labeled = make_quality_labeled(spark, n_clean=150, n_noise=150)
+    best = calibrate_quality_bands(labeled)
+    assert best["f1"] >= 0.95
+    # the shipped defaults are on the calibrated optimum's plateau
+    # (exact band ties vary with sample size; quality must not)
+    pinned = calibrate_quality_bands(
+        labeled,
+        length_bands=(DEFAULT_LENGTH_BAND,),
+        wl_bands=(DEFAULT_WL_BAND,),
+        line_bands=(DEFAULT_LINE_BAND,),
+    )
+    assert pinned["f1"] >= best["f1"] - 0.02
+    # the shipped defaults + threshold reproduce the calibrated quality
+    scored = quality_score(labeled)
+    flagged = scored.withColumn(
+        "pred", (F.col("quality_score") < DEFAULT_QUALITY_THRESHOLD).cast("int")
+    )
+    agg = flagged.groupBy("noisy").agg(F.avg("pred").alias("rate")).collect()
+    rates = {int(r["noisy"]): float(r["rate"]) for r in agg}
+    assert rates[1] >= 0.95   # noise recall
+    assert rates[0] <= 0.05   # clean false-positive rate
+    # every noise family is caught, not just the easy ones
+    by_kind = flagged.filter("noisy = 1").groupBy("noise_kind").agg(
+        F.avg("pred").alias("rate")
+    ).collect()
+    for r in by_kind:
+        assert float(r["rate"]) >= 0.9, r["noise_kind"]
+
+
 def test_token_counts_and_fingerprint(spark):
     docs = spark.createDataFrame(
         [(0, "foo bar baz"), (1, "foo bar baz"), (2, "foo.bar(baz)")],

@@ -101,6 +101,34 @@ def test_huge_k_hot_term_scores_descend(spark, small_idx):
     assert all(s[i] >= s[i + 1] - 1e-12 for i in range(len(s) - 1))
 
 
+def test_query_side_tokenizer_lang_parity(spark, tmp_path):
+    """A Python-majority corpus masks '#' comments at build time; the
+    query side must mask them identically (``_meta.json: query_lang``,
+    recorded from the runs' lang mix).  A query whose extra terms sit
+    entirely inside a '#' comment must therefore retrieve exactly what
+    the bare query does — under java masking the hot terms inside the
+    comment would leak into the query and change the top-k."""
+    from docinsight_spark.corpus import make_corpus
+    from docinsight_spark.index import fsio
+
+    d = str(tmp_path / "pyidx")
+    corpus = make_corpus(spark, 250, seed=5).withColumn("lang", F.lit("python"))
+    IndexBuilder(spark, d, n_buckets=4).build(corpus)
+    assert fsio.read_json(f"{d}/_meta.json")["query_lang"] == "python"
+    with_comment = _q(spark, "buffer segment # return int value")
+    bare = _q(spark, "buffer segment")
+    a = sorted(map(tuple, wand_search(spark, d, with_comment, k=5)
+                .select("rank", "docID", "score").collect()))
+    b = sorted(map(tuple, wand_search(spark, d, bare, k=5)
+                .select("rank", "docID", "score").collect()))
+    assert a == b and len(a) == 5
+    # the distributed-tokenize path applies the same lang
+    c = sorted(map(tuple, wand_search(
+        spark, d, with_comment, k=5, driver_tokenize_max=0)
+        .select("rank", "docID", "score").collect()))
+    assert c == a
+
+
 def test_per_wave_driver_collect_identical_with_telemetry(spark, small_idx):
     """Large-batch path: (query_id, term) pairs are collected per WAVE —
     driver residency is O(chunk × terms/query), never O(batch) — and the
