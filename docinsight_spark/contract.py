@@ -1255,6 +1255,69 @@ def wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Incremental O(delta) refresh under the oracle gate (round 4): the
+# index is built over HALF the table, the other half arrives as a later
+# run folded in by refresh_delta() — a separate segment generation with
+# its own encode-time avgdl — and the multi-generation WAND path must
+# reproduce the exact BM25 SQL oracle computed over the FULL table
+# (global N/avgdl/df exactness + drift-safe block maxima, hash-checked).
+
+_WANDINC_QUERIES: list[tuple[int, str]] = [
+    (0, "scan filter sort"),
+    (1, "hash agg merge"),
+    (2, "order stream window"),
+]
+_WANDINC_TERMS: list[tuple[int, str]] = [
+    (q, t) for q, text in _WANDINC_QUERIES for t in text.split()
+]
+
+
+@_register(
+    "wand_topk_incremental",
+    _bm25_oracle_sql(_WANDINC_TERMS, WAND_K, doc_id_alias="doc_id"),
+)
+def wand_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O(delta) refresh end-to-end: base build over even doc_ids, odd
+    doc_ids folded in later as a delta generation (IndexBuilder.
+    refresh_delta — the base segments are not re-encoded), then the
+    block-max fast path over BOTH segment sets.  Reference analog:
+    incremental index update, /root/reference/index/index_manager.py:124-201."""
+    import tempfile
+
+    from docinsight_spark.index.builder import IndexBuilder
+    from docinsight_spark.index.wand import wand_search
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id"),
+        F.lit("sf/docs").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id")).alias("path"),
+        F.lit("0000").alias("commit"),
+        F.lit("en").alias("lang"),
+        F.col("text").alias("content"),
+    )
+    idx = tempfile.mkdtemp(prefix="contract_wandinc_")
+    b = IndexBuilder(spark, idx, n_buckets=8, code_aware=False)
+    b.build(docs.filter(F.col("doc_id") % 2 == 0).drop("doc_id"))
+    b.add_run(docs.filter(F.col("doc_id") % 2 == 1).drop("doc_id"), "delta")
+    b.refresh_delta(fanin=2)
+    queries = spark.createDataFrame(
+        _WANDINC_QUERIES, "query_id long, query_text string"
+    )
+    res = wand_search(spark, idx, queries, k=_WAND_OVERFETCH)
+    dim = b.docs_dim().select(
+        "docID", F.expr("CAST(substr(path, 5) AS LONG)").alias("doc_id")
+    )
+    scored = res.join(dim, "docID").select(
+        "query_id", "doc_id", F.round("score", 4).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= WAND_K)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text → embedding featurizer under the oracle gate (round 3).  The
 # production featurizer (operators/embedder.featurize_text) is a

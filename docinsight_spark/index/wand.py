@@ -32,6 +32,15 @@ shard-per-bucket design):
 4. Each (shard, query) emits its local top-k; the global merge is a
    tiny ``shards × k``-row window per query.
 
+Incremental generations (round 4): the scan is the UNION of the base
+segment set and every committed delta generation
+(``builder.load_segments``), each row tagged with its set's encode-time
+avgdl.  Exact scores always use the CURRENT global stats (N/avgdl from
+``_meta.json``, df summed lazily across sets), so results are
+rank-identical to a from-scratch rebuild; pruning bounds stay
+admissible under avgdl drift via the per-block (tf_max, dl_min)
+fallback (see the kernel comment in :func:`_wave_local_topk`).
+
 Rank-identity contract vs the exact oracle
 (:mod:`docinsight_spark.operators.query`): same formula, same
 tie-break (score desc, docID asc) — the engine's analog of the
@@ -228,20 +237,54 @@ class Searcher:
     across many search calls — the repeated-query analog of the
     reference's resident FAISS index (``index_manager.py:64-69`` loads
     once, serves many).  With ``cache=True`` the segment dataset is
-    pinned in executor memory after the first query touches it."""
+    pinned in executor memory after the first query touches it.
 
-    def __init__(self, spark: SparkSession, index_dir: str, cache: bool = True):
+    Refresh-transparent: every ``search`` re-reads ``_meta.json`` (one
+    tiny driver-side file read — no Spark job) and reloads the segment
+    frames when an incremental refresh or compaction changed the
+    committed generation set, dropping the stale caches."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        cache: bool = True,
+        auto_reload: bool = True,
+    ):
         self.spark = spark
         self.index_dir = index_dir
-        self.meta = _load_meta(index_dir)
-        self.segments = load_segments(spark, index_dir, self.meta)
-        self.term_stats = load_term_stats(spark, index_dir, self.meta)
-        if cache:
+        self.cache = cache
+        self.auto_reload = auto_reload
+        self._load()
+
+    @staticmethod
+    def _sig(meta: dict) -> tuple:
+        return (
+            int(meta.get("n_docs", 0)),
+            tuple(g["id"] for g in meta.get("generations", [])),
+        )
+
+    def _load(self) -> None:
+        self.meta = _load_meta(self.index_dir)
+        self._meta_sig = self._sig(self.meta)
+        self.segments = load_segments(self.spark, self.index_dir, self.meta)
+        self.term_stats = load_term_stats(self.spark, self.index_dir, self.meta)
+        if self.cache:
             self.segments = self.segments.cache()
             self.term_stats = self.term_stats.cache()
 
+    def _maybe_reload(self) -> None:
+        meta = _load_meta(self.index_dir)
+        if self._sig(meta) != self._meta_sig:
+            if self.cache:
+                self.segments.unpersist()
+                self.term_stats.unpersist()
+            self._load()
+
     def search(self, queries: DataFrame, k: int = 10,
                code_aware: bool | None = None) -> DataFrame:
+        if self.auto_reload:
+            self._maybe_reload()
         return wand_search(
             self.spark, self.index_dir, queries, k=k, code_aware=code_aware,
             _segments=self.segments, _meta=self.meta, _tstats=self.term_stats,

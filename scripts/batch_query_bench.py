@@ -66,6 +66,15 @@ def main() -> None:
         t0 = time.time()
         rows = wand_search(spark, idx, queries, k=10, stats_out=wave_stats).count()
         batch_s = time.time() - t0
+
+        def _vm(key: str) -> int:
+            with open("/proc/self/status") as fh:
+                for line in fh:
+                    if line.startswith(key):
+                        return int(line.split()[1])  # kB
+            return 0
+
+        wave_stats["driver_peak_rss_mb"] = round(_vm("VmHWM") / 1024, 1)
         print(
             json.dumps(
                 {

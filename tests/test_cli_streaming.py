@@ -93,11 +93,28 @@ def test_streaming_incremental_ingest(spark, tmp_path):
     # so indexed docs < 60 + drop2 rows
     total_docs = sum(m["docs"] for m in runs2)
 
-    refresh(b, fanin=2)
+    refresh(b, fanin=2)  # first refresh = full base build
     assert b.meta()["n_docs"] == total_docs
     queries = make_queries(spark, corpus_n=60, n_queries=4)
     res = wand_search(spark, idx, queries, k=5)
     assert res.count() > 0
+
+    # third drop AFTER the base is finalized → the streaming refresh
+    # folds it into a delta generation (O(delta), base untouched)
+    make_corpus(spark, 140).filter(
+        F.xxhash64("repo", "path", "commit") % 2 == 1
+    ).write.mode("append").parquet(inbox)
+    q = stream_ingest(spark, b, inbox, ckpt, available_now=True)
+    q.awaitTermination(120)
+    gid = refresh(b, fanin=2)
+    assert gid is not None and gid != "base"
+    meta = b.meta()
+    assert [g["id"] for g in meta["generations"]] == [gid]
+    total_docs2 = sum(
+        m["docs"] for m in b.manifests() if m["unit"].startswith("run-")
+    )
+    assert meta["n_docs"] == total_docs2 > total_docs
+    assert wand_search(spark, idx, queries, k=5).count() > 0
 
 
 GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "golden_topk.json")

@@ -156,6 +156,50 @@ def test_drift_safe_bounds_when_avgdl_grows(spark, tmp_path):
     _assert_same_results(fast, oracle)
 
 
+def test_refresh_crash_between_meta_and_manifest_converges(spark, tmp_path):
+    """The commit point is the _meta.json write; the generation manifest
+    is lineage.  A crash in between must not double-ingest the runs on
+    rerun (coverage counts meta-listed generations) and must not break
+    the stale-run-set guard."""
+    from docinsight_spark.index import fsio
+
+    d = str(tmp_path / "crashwin")
+    b = IndexBuilder(spark, d, n_buckets=4)
+    b.build(make_corpus(spark, 150, seed=31, partitions=2))
+    b.add_run(make_corpus(spark, 100, seed=32, partitions=2), "d1")
+    gid = b.refresh_delta(fanin=2)
+    n_docs = b.meta()["n_docs"]
+    # simulate the crash window: generation manifest lost, meta committed
+    fsio.remove(f"{d}/manifests/generation-{gid}.json")
+    assert b.refresh_delta(fanin=2) is None  # runs covered via meta
+    assert b.meta()["n_docs"] == n_docs      # no double count
+    b.merge_all(fanin=2)                     # coverage guard satisfied
+    # and the index still answers, generation included
+    q = make_queries(spark, corpus_n=150, n_queries=4)
+    assert wand_search(spark, d, q, k=5).count() > 0
+
+
+def test_searcher_reloads_after_refresh(spark, tmp_path):
+    """A resident Searcher must serve a refreshed index without being
+    recreated: each search re-reads _meta.json (no Spark job) and
+    reloads/uncaches only when the generation set changed."""
+    from docinsight_spark.index.wand import Searcher
+
+    d = str(tmp_path / "srch")
+    b = IndexBuilder(spark, d, n_buckets=4)
+    b.build(make_corpus(spark, 200, seed=21, partitions=2))
+    s = Searcher(spark, d, cache=True)
+    q = make_queries(spark, corpus_n=200, n_queries=6)
+    before = _res(s.search(q, k=5))
+    assert len(before) > 0
+    b.add_run(make_corpus(spark, 200, seed=22, partitions=2), "d1")
+    b.refresh_delta(fanin=2)
+    served = _res(s.search(q, k=5))        # same resident Searcher
+    fresh = _res(wand_search(spark, d, q, k=5))
+    _assert_same_results(served, fresh)
+    assert served != before  # the delta actually changed some top-k
+
+
 def test_compact_folds_generations_same_results(spark, gen_setup):
     """Size-tiered compaction folds the delta generations into one; the
     query surface must not move.  (Runs last in the module — it mutates
