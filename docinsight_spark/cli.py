@@ -4,13 +4,17 @@ Ship with::
 
     spark-submit --py-files docinsight_spark.zip -m docinsight_spark.cli build \
         --corpus <parquet-or-iceberg:tbl> --index /path/idx --runs 4
-    ... query  --index /path/idx --queries q.parquet --k 10 --out res.parquet
-    ... report --index /path/idx --queries docs.parquet --out report.json
+    ... ingest  --corpus delta.parquet --index /path/idx --run-id d1   # O(delta)
+    ... compact --index /path/idx [--force]
+    ... query   --index /path/idx --queries q.parquet --k 10 --out res.parquet
+    ... report  --index /path/idx --queries docs.parquet --out report.json
 
 Replaces the reference's CLI (``/root/reference/docinsight_cli.py``:
-``ingest`` / ``reindex`` / ``search`` / ``analyze``).  On a cluster the
-session master/memory come from spark-submit; locally it falls back to
-``local[*]``.
+``ingest`` / ``reindex`` / ``search`` / ``analyze``) — ``ingest`` folds
+the slice into a delta segment generation (O(delta), the incremental
+path), ``compact`` is the size-tiered generation fold.  On a cluster
+the session master/memory come from spark-submit; locally it falls back
+to ``local[*]``.
 """
 
 from __future__ import annotations
@@ -44,6 +48,46 @@ def cmd_build(args) -> int:
     b.build(corpus, n_runs=args.runs, fanin=args.fanin)
     print(json.dumps({"status": "built", "meta": b.meta(),
                       "units": [m["unit"] for m in b.manifests()]}))
+    return 0
+
+
+def cmd_ingest(args) -> int:
+    """Incremental ingest: add one corpus slice as a run, then fold it
+    into the index O(delta) (a new segment generation) — the reference's
+    ``ingest`` command (``docinsight_cli.py``) with cluster semantics."""
+    from docinsight_spark.index.builder import IndexBuilder
+    from docinsight_spark.sources.tables import read_corpus
+
+    spark = _spark("docinsight_ingest")
+    b = IndexBuilder(
+        spark, args.index, n_buckets=args.buckets, n_subs=args.subs,
+        code_aware=not args.simple_tokens,
+    )
+    b.add_run(read_corpus(spark, args.corpus), args.run_id)
+    gid = b.refresh_delta(fanin=args.fanin) if not args.no_refresh else None
+    print(json.dumps({"status": "ingested", "run_id": args.run_id,
+                      "generation": gid}))
+    return 0
+
+
+def cmd_compact(args) -> int:
+    """Fold small/drifted segment generations into one (size-tiered);
+    the reference's ``reindex`` analog, but O(folded generations), not
+    O(corpus)."""
+    from docinsight_spark.index.builder import IndexBuilder
+
+    spark = _spark("docinsight_compact")
+    b = IndexBuilder(spark, args.index, n_buckets=args.buckets, n_subs=args.subs)
+    gid = b.compact(
+        max_generations=args.max_generations, fanin=args.fanin,
+        force=args.force,
+    )
+    meta = b.meta()
+    print(json.dumps({
+        "status": "compacted" if gid else "noop",
+        "generation": gid,
+        "generations": [g["id"] for g in meta.get("generations", [])],
+    }))
     return 0
 
 
@@ -122,6 +166,29 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--subs", type=int, default=2)
     b.add_argument("--simple-tokens", action="store_true")
     b.set_defaults(fn=cmd_build)
+
+    i = sub.add_parser(
+        "ingest", help="add a corpus slice and fold it in O(delta)"
+    )
+    i.add_argument("--corpus", required=True)
+    i.add_argument("--index", required=True)
+    i.add_argument("--run-id", required=True)
+    i.add_argument("--fanin", type=int, default=8)
+    i.add_argument("--buckets", type=int, default=32)
+    i.add_argument("--subs", type=int, default=2)
+    i.add_argument("--simple-tokens", action="store_true")
+    i.add_argument("--no-refresh", action="store_true",
+                   help="only record the run; fold later")
+    i.set_defaults(fn=cmd_ingest)
+
+    c = sub.add_parser("compact", help="fold segment generations")
+    c.add_argument("--index", required=True)
+    c.add_argument("--max-generations", type=int, default=8)
+    c.add_argument("--fanin", type=int, default=8)
+    c.add_argument("--buckets", type=int, default=32)
+    c.add_argument("--subs", type=int, default=2)
+    c.add_argument("--force", action="store_true")
+    c.set_defaults(fn=cmd_compact)
 
     q = sub.add_parser("query", help="BM25 top-k search")
     q.add_argument("--index", required=True)

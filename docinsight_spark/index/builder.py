@@ -285,6 +285,14 @@ class IndexBuilder:
         shards.  ``B × K`` shards are the unit of sort/query parallelism;
         every shard is a self-contained document slice.
 
+        Concurrency model: ONE writer (build / add_run / refresh_delta /
+        compact) at a time per index dir — the manifest protocol makes
+        any step crash-resumable and idempotent, but two concurrent
+        writers could race on the same generation id.  Readers are
+        unrestricted: they see exactly the generations committed in
+        ``_meta.json`` (atomic tmp+rename), so queries run safely
+        DURING a refresh and flip to the new generation set atomically.
+
         Sizing at scale: pick ``B × K`` ≈ 2-4× total executor cores so
         every core owns a few shards per wave, and so one shard's
         postings (≈ total_postings / (B·K)) fit an executor's sort

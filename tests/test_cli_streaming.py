@@ -67,6 +67,37 @@ def test_cli_build_query_report(spark, cli_env, capsys):
         assert f"{r['originality_score']:.4f}" in page
 
 
+def test_cli_ingest_and_compact(spark, cli_env, capsys):
+    """`ingest` folds a delta slice O(delta); `compact` folds
+    generations — the reference's ingest/reindex CLI analogs."""
+    idx = f"{cli_env['root']}/idx_inc"
+    assert cli_main([
+        "build", "--corpus", cli_env["corpus"], "--index", idx,
+        "--runs", "1", "--buckets", "4",
+    ]) == 0
+    capsys.readouterr()
+    delta = f"{cli_env['root']}/delta"
+    make_corpus(spark, 100, seed=77).write.mode("overwrite").parquet(delta)
+    assert cli_main([
+        "ingest", "--corpus", delta, "--index", idx,
+        "--run-id", "d1", "--fanin", "2", "--buckets", "4",
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["status"] == "ingested" and out["generation"] == "gen0001"
+    assert cli_main(["compact", "--index", idx, "--buckets", "4"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["status"] == "noop"  # one gen, no drift: nothing to fold
+    assert cli_main([
+        "compact", "--index", idx, "--buckets", "4", "--force", "--fanin", "2",
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["status"] == "compacted" and out["generations"] == [out["generation"]]
+    res = wand_search(
+        spark, idx, make_queries(spark, corpus_n=200, n_queries=4), k=5
+    )
+    assert res.count() > 0
+
+
 def test_streaming_incremental_ingest(spark, tmp_path):
     inbox = str(tmp_path / "inbox")
     ckpt = str(tmp_path / "ckpt")
