@@ -58,11 +58,18 @@ def cmd_ingest(args) -> int:
     from docinsight_spark.index.builder import IndexBuilder
     from docinsight_spark.sources.tables import read_corpus
 
+    import os
+
     spark = _spark("docinsight_ingest")
-    b = IndexBuilder(
-        spark, args.index, n_buckets=args.buckets, n_subs=args.subs,
-        code_aware=not args.simple_tokens,
-    )
+    if os.path.exists(f"{args.index.rstrip('/')}/_meta.json"):
+        # finalized index: take geometry/tokenizer from its meta — a
+        # mismatched delta would shard into the wrong buckets
+        b = IndexBuilder.for_index(spark, args.index)
+    else:
+        b = IndexBuilder(
+            spark, args.index, n_buckets=args.buckets, n_subs=args.subs,
+            code_aware=not args.simple_tokens,
+        )
     b.add_run(read_corpus(spark, args.corpus), args.run_id)
     gid = b.refresh_delta(fanin=args.fanin) if not args.no_refresh else None
     print(json.dumps({"status": "ingested", "run_id": args.run_id,
@@ -77,7 +84,7 @@ def cmd_compact(args) -> int:
     from docinsight_spark.index.builder import IndexBuilder
 
     spark = _spark("docinsight_compact")
-    b = IndexBuilder(spark, args.index, n_buckets=args.buckets, n_subs=args.subs)
+    b = IndexBuilder.for_index(spark, args.index)
     gid = b.compact(
         max_generations=args.max_generations, fanin=args.fanin,
         force=args.force,
@@ -181,12 +188,13 @@ def main(argv: list[str] | None = None) -> int:
                    help="only record the run; fold later")
     i.set_defaults(fn=cmd_ingest)
 
-    c = sub.add_parser("compact", help="fold segment generations")
+    c = sub.add_parser(
+        "compact",
+        help="fold segment generations (geometry read from the index)",
+    )
     c.add_argument("--index", required=True)
     c.add_argument("--max-generations", type=int, default=8)
     c.add_argument("--fanin", type=int, default=8)
-    c.add_argument("--buckets", type=int, default=32)
-    c.add_argument("--subs", type=int, default=2)
     c.add_argument("--force", action="store_true")
     c.set_defaults(fn=cmd_compact)
 

@@ -315,9 +315,51 @@ class IndexBuilder:
         self._gate_cache: list[DataFrame] = []
         fsio.makedirs(f"{self.dir}/manifests")
 
+    @classmethod
+    def for_index(cls, spark: SparkSession, index_dir: str, **overrides):
+        """Builder configured FROM an existing index's ``_meta.json`` —
+        the safe way to append to / compact an index you didn't just
+        build (geometry and tokenizer settings must match; see
+        :meth:`_check_meta_compat`)."""
+        meta = fsio.read_json(f"{index_dir.rstrip('/')}/_meta.json")
+        kw = dict(
+            n_buckets=int(meta["n_buckets"]),
+            n_subs=int(meta.get("n_subs", 1)),
+            block_size=int(meta.get("block_size", BLOCK_SIZE)),
+            k1=float(meta.get("k1", BM25_K1)),
+            b=float(meta.get("b", BM25_B)),
+            code_aware=bool(meta.get("code_aware", True)),
+        )
+        kw.update(overrides)
+        return cls(spark, index_dir, **kw)
+
     @property
     def n_shards(self) -> int:
         return self.n_buckets * self.n_subs
+
+    def _check_meta_compat(self) -> None:
+        """Fail loudly when this builder's geometry/tokenizer disagrees
+        with an already-finalized index: a delta sharded with different
+        ``n_buckets``/``n_subs`` would land postings in buckets whose
+        doc_stats the kernels never read (silently wrong dl → wrong
+        scores), and a different tokenizer family would split the same
+        document into different terms across generations."""
+        if not fsio.exists(f"{self.dir}/_meta.json"):
+            return
+        meta = self.meta()
+        mine = {
+            "n_buckets": self.n_buckets,
+            "n_subs": self.n_subs,
+            "block_size": self.block_size,
+            "code_aware": self.code_aware,
+        }
+        theirs = {k: meta.get(k) for k in mine}
+        if mine != theirs:
+            raise ValueError(
+                f"IndexBuilder settings {mine} do not match the existing "
+                f"index at {self.dir} ({theirs}); construct the builder "
+                "with the index's settings or purge and rebuild"
+            )
 
     # -- lineage -----------------------------------------------------------
 
@@ -378,6 +420,7 @@ class IndexBuilder:
         unit = f"run-{run_id}"
         if self._done(unit):
             return
+        self._check_meta_compat()
         docs = with_doc_id(corpus)
         if dedup_within_run:
             docs = docs.dropDuplicates(["docID"])
@@ -924,6 +967,7 @@ class IndexBuilder:
             return "base"
         if not self._done("finalize"):
             self.finalize()
+        self._check_meta_compat()
         runs = sorted(
             m["run_id"] for m in self.manifests() if m["unit"].startswith("run-")
         )
@@ -1009,6 +1053,7 @@ class IndexBuilder:
         new generation encoded at the current avgdl.  The base segment
         set only rewrites on an explicit full rebuild.  Returns the new
         generation id or ``None`` when nothing triggered."""
+        self._check_meta_compat()
         meta = self.meta()
         gens = meta.get("generations", [])
         if not gens:

@@ -84,11 +84,11 @@ def test_cli_ingest_and_compact(spark, cli_env, capsys):
     ]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["status"] == "ingested" and out["generation"] == "gen0001"
-    assert cli_main(["compact", "--index", idx, "--buckets", "4"]) == 0
+    assert cli_main(["compact", "--index", idx]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["status"] == "noop"  # one gen, no drift: nothing to fold
     assert cli_main([
-        "compact", "--index", idx, "--buckets", "4", "--force", "--fanin", "2",
+        "compact", "--index", idx, "--force", "--fanin", "2",
     ]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["status"] == "compacted" and out["generations"] == [out["generation"]]

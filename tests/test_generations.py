@@ -156,6 +156,45 @@ def test_drift_safe_bounds_when_avgdl_grows(spark, tmp_path):
     _assert_same_results(fast, oracle)
 
 
+def test_mismatched_builder_geometry_refused(spark, tmp_path):
+    """A delta sharded with different n_buckets would land postings in
+    buckets whose doc_stats the kernels never read — the builder must
+    refuse, and for_index() must configure itself from the meta."""
+    d = str(tmp_path / "geom")
+    IndexBuilder(spark, d, n_buckets=4).build(
+        make_corpus(spark, 120, seed=41, partitions=2)
+    )
+    wrong = IndexBuilder(spark, d, n_buckets=8)
+    with pytest.raises(ValueError, match="do not match"):
+        wrong.add_run(make_corpus(spark, 50, seed=42), "d1")
+    right = IndexBuilder.for_index(spark, d)
+    assert right.n_buckets == 4 and right.code_aware is True
+    right.add_run(make_corpus(spark, 50, seed=42, partitions=2), "d1")
+    assert right.refresh_delta(fanin=2) == "gen0001"
+
+
+def test_purge_run_clears_generations(spark, tmp_path):
+    """Purging any run invalidates downstream generations and meta; the
+    rebuild path (merge_all + finalize) starts clean."""
+    from docinsight_spark.index.builder import purge_run
+
+    d = str(tmp_path / "purgeg")
+    b = IndexBuilder(spark, d, n_buckets=4)
+    b.build(make_corpus(spark, 120, seed=51, partitions=2))
+    b.add_run(make_corpus(spark, 60, seed=52, partitions=2), "d1")
+    b.refresh_delta(fanin=2)
+    purge_run(d, "d1")
+    assert not os.path.isdir(f"{d}/generations")
+    assert not os.path.exists(f"{d}/_meta.json")
+    units = {m["unit"] for m in b.manifests()}
+    assert not any(u.startswith(("generation-", "genmerge-", "merge")) for u in units)
+    b.merge_all(fanin=2)
+    b.finalize()
+    assert b.meta()["n_docs"] == 120 and b.meta()["generations"] == []
+    q = make_queries(spark, corpus_n=120, n_queries=4)
+    assert wand_search(spark, d, q, k=5).count() > 0
+
+
 def test_refresh_crash_between_meta_and_manifest_converges(spark, tmp_path):
     """The commit point is the _meta.json write; the generation manifest
     is lineage.  A crash in between must not double-ingest the runs on
