@@ -9,6 +9,11 @@ Runs the engine's flagship workloads at ``$SPARK_GRAFT_SF_DIR``
                       synthetic source-code corpus (BASELINE input
                       shape), plus files/sec derived metric
 * ``wand_query``    — batch BM25 top-10 via the block-max fast path
+* ``refresh_delta`` — O(delta) incremental refresh: a 5% delta folded
+                      into the index as a segment generation (runs after
+                      the base-index stages; excluded from the headline
+                      total so round totals stay comparable — read
+                      ``extras.refresh_vs_build``)
 * ``bm25_oracle``   — exact DataFrame BM25 top-10 on the sf documents
 * ``minhash_dedup`` — MinHash+LSH near-dup sweep on sf documents
 * ``cosine_topk``   — brute-force embedding ANN baseline
@@ -219,6 +224,36 @@ def main() -> None:
         extras["query_p50_sec"] = round(lat[len(lat) // 2], 3)
         extras["query_p95_sec"] = round(lat[int(len(lat) * 0.95)], 3)
 
+        # -- O(delta) incremental refresh: fold a 5% delta into the index
+        #    as a segment generation (the base is not re-encoded).  Runs
+        #    AFTER every stage that measures the base index, and is
+        #    excluded from the headline total (new stage in round 4 —
+        #    keeps the suite total comparable across rounds); the metric
+        #    is the ratio vs index_build: refresh cost tracks the delta.
+        delta_n = max(N_FILES // 20, 100)
+        refresh_attempt = {"i": 0}
+
+        def _refresh():
+            # each retry attempt ingests a DISTINCT delta range — a
+            # repeated range would dedup to an empty (cheap) generation
+            # and the best-of pick would measure the wrong path
+            refresh_attempt["i"] += 1
+            b = IndexBuilder(spark, idx_dir, n_buckets=32)
+            b.add_run(
+                make_corpus(
+                    spark, delta_n, partitions=int(CPUS),
+                    start=N_FILES + refresh_attempt["i"] * delta_n,
+                ),
+                f"bdelta{refresh_attempt['i']}", dedup_within_run=False,
+            )
+            b.refresh_delta(fanin=2)
+
+        bench("refresh_delta", _refresh, repeats=1)
+        extras["refresh_delta_files"] = delta_n
+        extras["refresh_vs_build"] = round(
+            timings["refresh_delta"] / timings["index_build"], 3
+        )
+
         # -- contract headline queries at SF_DIR ---------------------------
         from docinsight_spark.contract import QUERIES
 
@@ -239,7 +274,10 @@ def main() -> None:
     extras["repeats"] = REPEATS
     extras["stage_loadavg"] = stage_load
     extras["stage_steal_pct"] = stage_steal
-    total = round(sum(v for k, v in timings.items() if k != "datagen"), 3)
+    total = round(
+        sum(v for k, v in timings.items() if k not in ("datagen", "refresh_delta")),
+        3,
+    )
     out = {
         "metric": "headline-suite wall time (index build + BM25 WAND/oracle "
         "+ near-dup + ANN + originality)",

@@ -84,3 +84,52 @@ def test_compression_beats_raw():
     tfs = np.ones(n, dtype=np.int64)
     payload, _ = encode_postings(docs, tfs, tfs.astype(np.float32))
     assert len(payload) < n * 16 * 0.5  # ≥2× smaller than raw (docID,tf) int64 pairs
+
+
+def test_block_tf_max_dl_min_fields():
+    """v4 drift-bound inputs: per-block tf_max / dl_min must be exact
+    maxima/minima over the docID-sorted block membership."""
+    n = 700
+    rng = np.random.RandomState(11)
+    docs = rng.permutation(np.cumsum(rng.randint(1, 2**20, size=n).astype(np.int64)))
+    tfs = rng.randint(1, 400, size=n).astype(np.int64)
+    dls = rng.randint(1, 5000, size=n).astype(np.int64)
+    scores = (tfs / (tfs + 1.5)).astype(np.float32)
+    payload, meta = encode_postings(docs, tfs, scores, block_size=128, dls=dls)
+    order = np.argsort(docs, kind="stable")
+    ts, ds = tfs[order], dls[order]
+    for bi in range(len(meta.n)):
+        lo, hi = bi * 128, min((bi + 1) * 128, n)
+        assert meta.tf_max[bi] == ts[lo:hi].max()
+        assert meta.dl_min[bi] == ds[lo:hi].min()
+
+
+@settings(deadline=None, max_examples=200)
+@given(
+    tf=st.integers(min_value=1, max_value=10_000),
+    dl=st.integers(min_value=1, max_value=10**6),
+    tf_extra=st.integers(min_value=0, max_value=500),
+    dl_extra=st.integers(min_value=0, max_value=10**5),
+    avgdl_enc=st.floats(min_value=1.0, max_value=10**5),
+    avgdl_now=st.floats(min_value=1.0, max_value=10**5),
+)
+def test_drift_bound_admissible(tf, dl, tf_extra, dl_extra, avgdl_enc, avgdl_now):
+    """The query-side drift-safe block bound must upper-bound the true
+    tf-normalized score of EVERY posting under the CURRENT avgdl, for
+    any drift direction — the wand kernel's bound formula verbatim
+    (index/wand.py _wave_local_topk), with (tf_max, dl_min) standing in
+    for a block containing this posting."""
+    k1, b = 1.2, 0.75
+
+    def s(tf_, dl_, avgdl_):
+        return tf_ * (k1 + 1.0) / (tf_ + k1 * (1.0 - b + b * dl_ / avgdl_))
+
+    tf_max, dl_min = tf + tf_extra, dl  # dl_min ≤ any member's dl
+    member_dl = dl + dl_extra           # the posting's dl ≥ dl_min
+    true_score = s(tf, member_dl, avgdl_now)
+    stored_max = np.float32(s(tf, member_dl, avgdl_enc))  # f32, as stored
+    bound = s(tf_max, dl_min, avgdl_now)
+    if avgdl_now <= avgdl_enc * (1.0 + 1e-12):
+        bound = min(bound, float(stored_max))
+    # the kernel inflates term uppers by (1+1e-6)+1e-12 for f32 slack
+    assert bound * (1.0 + 1e-6) + 1e-12 >= true_score

@@ -156,6 +156,35 @@ def test_drift_safe_bounds_when_avgdl_grows(spark, tmp_path):
     _assert_same_results(fast, oracle)
 
 
+def test_compact_triggers_on_avgdl_drift(spark, tmp_path):
+    """A generation whose encode-time avgdl drifted past the threshold
+    is re-encoded by compact() even when the generation COUNT is fine:
+    its stored maxima were only loosely admissible (wasted decodes)."""
+    d = str(tmp_path / "driftc")
+    b = IndexBuilder(spark, d, n_buckets=4)
+    b.build(make_corpus(spark, 150, seed=71, partitions=2, stmts_range=(3, 6)))
+    b.add_run(
+        make_corpus(spark, 60, seed=72, partitions=2, stmts_range=(3, 6)), "d1"
+    )
+    b.refresh_delta(fanin=2)  # gen0001 encoded at the short-docs avgdl
+    b.add_run(
+        make_corpus(spark, 150, seed=73, partitions=2, stmts_range=(50, 70)),
+        "d2",
+    )
+    b.refresh_delta(fanin=2)  # long docs push global avgdl far up
+    meta = b.meta()
+    g1 = [g for g in meta["generations"] if g["id"] == "gen0001"][0]
+    assert meta["avgdl"] > float(g1["avgdl_enc"]) * 1.25  # in the drift regime
+    q = make_queries(spark, corpus_n=150, n_queries=8)
+    before = _res(wand_search(spark, d, q, k=5))
+    gid = b.compact(max_generations=8, max_avgdl_drift=0.25, fanin=2)
+    assert gid is not None  # triggered by drift, not by count
+    enc = {g["id"]: g["avgdl_enc"] for g in b.meta()["generations"]}
+    assert enc[gid] == pytest.approx(b.meta()["avgdl"])  # re-encoded fresh
+    after = _res(wand_search(spark, d, q, k=5))
+    _assert_same_results(before, after)
+
+
 def test_mismatched_builder_geometry_refused(spark, tmp_path):
     """A delta sharded with different n_buckets would land postings in
     buckets whose doc_stats the kernels never read — the builder must

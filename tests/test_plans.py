@@ -55,6 +55,42 @@ def test_segment_scan_prunes_terms_and_columns(spark, small_index):
     assert read_lines and all("payload" not in l for l in read_lines), p
 
 
+def test_generation_union_keeps_pushdown(spark, small_index, tmp_path_factory):
+    """With delta generations the segment scan is a UNION of sets; the
+    term IN-list must still reach EVERY parquet relation (per-set
+    row-group skipping), and the term filter on the lazy df aggregate
+    must push below the union into each term_stats scan — otherwise
+    query cost regresses from |query terms| to O(vocabulary) per set."""
+    from docinsight_spark.corpus import make_corpus
+    from docinsight_spark.index.builder import (
+        load_segments,
+        load_term_stats,
+    )
+
+    d = str(tmp_path_factory.mktemp("genplan"))
+    b = IndexBuilder(spark, d, n_buckets=4)
+    b.build(make_corpus(spark, 150, seed=81, partitions=2))
+    b.add_run(make_corpus(spark, 80, seed=82, partitions=2), "d1")
+    b.refresh_delta(fanin=2)
+    meta = b.meta()
+    assert len(meta["generations"]) == 1
+
+    seg = load_segments(spark, d, meta).filter(
+        F.col("term").isin(["return", "int"])
+    )
+    p = plan_text(seg)
+    scans = [l for l in p.splitlines() if "PushedFilters" in l]
+    assert len(scans) >= 2, p  # base + generation relations
+    assert all("term" in l for l in scans), p
+
+    ts = load_term_stats(spark, d, meta).filter(
+        F.col("term").isin(["return", "int"])
+    )
+    p = plan_text(ts)
+    scans = [l for l in p.splitlines() if "PushedFilters" in l]
+    assert len(scans) >= 2 and all("term" in l for l in scans), p
+
+
 def test_finalize_encode_input_has_no_broadcast(spark, small_index):
     """The segment encoder's input must be a pure projection of the
     merged postings: no join, no BroadcastExchange.  A full-vocabulary
