@@ -1116,7 +1116,13 @@ class IndexBuilder:
             segments_built=lineage["segments_built"],
             bytes_compressed=lineage["bytes_compressed"],
         )
-        # victims are unreferenced once meta points away — reclaim
+        # Victims are unreferenced once meta points away — reclaim.
+        # Shared-deployment note: a reader that loaded the OLD meta can
+        # still be scanning a victim's files; on a multi-tenant cluster
+        # delay this deletion by a grace period (or snapshot-expire via
+        # the table format) instead of deleting inline.  Single-writer
+        # local/batch deployments (this engine's tested mode) are safe:
+        # Searcher re-reads meta per search and reloads.
         for vid in victims:
             fsio.rmtree(f"{self.dir}/generations/{vid}")
             for fn in fsio.listdir(f"{self.dir}/manifests"):
