@@ -58,10 +58,12 @@ def cmd_ingest(args) -> int:
     from docinsight_spark.index.builder import IndexBuilder
     from docinsight_spark.sources.tables import read_corpus
 
-    import os
+    from docinsight_spark.index import fsio
 
     spark = _spark("docinsight_ingest")
-    if os.path.exists(f"{args.index.rstrip('/')}/_meta.json"):
+    # fsio, not os.path: the index may live on s3:// / hdfs:// — a local
+    # -only check would silently skip the for_index branch there
+    if fsio.exists(f"{args.index.rstrip('/')}/_meta.json"):
         # finalized index: take geometry/tokenizer from its meta — a
         # mismatched delta would shard into the wrong buckets
         b = IndexBuilder.for_index(spark, args.index)

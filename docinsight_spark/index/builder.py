@@ -352,6 +352,11 @@ class IndexBuilder:
             "n_subs": self.n_subs,
             "block_size": self.block_size,
             "code_aware": self.code_aware,
+            # BM25 constants too: a delta encoded at different k1/b
+            # stores block maxima that under-bound query-time scores —
+            # silently wrong pruning, the worst failure class
+            "k1": self.k1,
+            "b": self.b,
         }
         theirs = {k: meta.get(k) for k in mine}
         if mine != theirs:
@@ -624,7 +629,13 @@ class IndexBuilder:
     ) -> tuple[str, int]:
         """Hierarchical merge of run dirs into one shard-sorted layout
         under ``out_root``; every wave step is manifest-guarded with
-        ``unit_prefix``-scoped names.  Returns (final source dir, waves)."""
+        ``unit_prefix``-scoped names.  Returns (final source dir, waves).
+
+        A completed wave step is reused ONLY when its manifest's recorded
+        inputs equal the current group: after a crashed fold, a rerun
+        over a *different* run set (new runs arrived, or a reused
+        generation id after a crashed compact) must re-merge, not
+        silently serve the stale output that covers the wrong runs."""
         wave = 0
         while len(sources) > 1 or sources[0].startswith(f"{self.dir}/runs/"):
             groups = [sources[i : i + fanin] for i in range(0, len(sources), fanin)]
@@ -632,7 +643,12 @@ class IndexBuilder:
             for gi, grp in enumerate(groups):
                 out = f"{out_root}/wave{wave}/g{gi}"
                 unit = f"{unit_prefix}-w{wave}-g{gi}"
-                if not self._done(unit):
+                prior_inputs = (
+                    fsio.read_json(self._mpath(unit)).get("inputs")
+                    if self._done(unit)
+                    else None
+                )
+                if prior_inputs != grp:
                     self._merge_group(grp, out, unit)
                 nxt.append(out)
             sources = nxt
@@ -971,7 +987,8 @@ class IndexBuilder:
         runs = sorted(
             m["run_id"] for m in self.manifests() if m["unit"].startswith("run-")
         )
-        new = [r for r in runs if r not in self._covered_runs()]
+        covered = self._covered_runs()  # once — not per run (O(runs²) I/O)
+        new = [r for r in runs if r not in covered]
         if not new:
             return None
         gid = self._next_gen_id()
@@ -1134,10 +1151,6 @@ class IndexBuilder:
 
 
 # -- generation-aware readers (query side) ----------------------------------
-
-
-def load_index_meta(index_dir: str) -> dict:
-    return fsio.read_json(f"{index_dir}/_meta.json")
 
 
 def doc_stats_roots(index_dir: str, meta: dict) -> list[str]:

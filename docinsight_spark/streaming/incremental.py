@@ -26,23 +26,40 @@ def stream_ingest(
     input_dir: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    refresh_every: int | None = None,
+    compact_max_generations: int = 8,
 ):
     """Ingest corpus files appearing under ``input_dir`` as index runs.
 
     Returns the started ``StreamingQuery``.  With ``available_now`` the
     query drains everything currently present and stops (the batch-
     driven test/bootstrap mode); without it, it keeps tailing.
+
+    ``refresh_every=N`` turns this into the fully continuous mode: after
+    every N micro-batches the sink folds the accumulated runs into the
+    queryable index (O(delta) generation via :func:`refresh`) and lets
+    :meth:`IndexBuilder.compact` bound the generation fan-out — queries
+    running against the index flip to each new generation set
+    atomically (the ``_meta.json`` commit point).  The counter is
+    in-sink state: after a restart the first refresh may come earlier
+    than N batches, which is safe (refresh is idempotent and O(delta)).
     """
     src = (
         spark.readStream.schema(CORPUS_SCHEMA)
         .option("maxFilesPerTrigger", 64)
         .parquet(input_dir)
     )
+    seen = {"n": 0}
 
     def sink(batch_df, epoch_id: int) -> None:
         # one run per micro-batch; replays of the same epoch hit the
         # completed manifest and no-op (idempotent exactly-once sink)
         builder.add_run(batch_df, f"stream{epoch_id:05d}")
+        if refresh_every:
+            seen["n"] += 1
+            if seen["n"] % refresh_every == 0:
+                refresh(builder)
+                builder.compact(max_generations=compact_max_generations)
 
     writer = src.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir

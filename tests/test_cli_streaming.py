@@ -148,6 +148,36 @@ def test_streaming_incremental_ingest(spark, tmp_path):
     assert wand_search(spark, idx, queries, k=5).count() > 0
 
 
+def test_streaming_continuous_refresh_and_compact(spark, tmp_path):
+    """Fully continuous mode: refresh_every folds every micro-batch into
+    the queryable index (base build first, then O(delta) generations)
+    and compaction bounds the generation fan-out inside the stream."""
+    inbox = str(tmp_path / "inbox")
+    ckpt = str(tmp_path / "ckpt")
+    idx = str(tmp_path / "idx")
+    os.makedirs(inbox, exist_ok=True)
+    b = IndexBuilder(spark, idx, n_buckets=4)
+
+    def drop_and_drain(start, n):
+        make_corpus(spark, n, start=start).write.mode("append").parquet(inbox)
+        q = stream_ingest(
+            spark, b, inbox, ckpt, available_now=True,
+            refresh_every=1, compact_max_generations=1,
+        )
+        q.awaitTermination(120)
+
+    drop_and_drain(0, 60)       # first batch → full base build
+    assert b.meta()["n_docs"] == 60 and b.meta()["generations"] == []
+    drop_and_drain(60, 40)      # delta generation (1 gen ≤ cap: no fold)
+    assert len(b.meta()["generations"]) == 1
+    drop_and_drain(100, 40)     # second delta → compaction folds to one
+    meta = b.meta()
+    assert meta["n_docs"] == 140
+    assert len(meta["generations"]) == 1  # compacted inside the stream
+    queries = make_queries(spark, corpus_n=60, n_queries=4)
+    assert wand_search(spark, idx, queries, k=5).count() > 0
+
+
 GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "golden_topk.json")
 
 

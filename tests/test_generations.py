@@ -196,6 +196,12 @@ def test_mismatched_builder_geometry_refused(spark, tmp_path):
     wrong = IndexBuilder(spark, d, n_buckets=8)
     with pytest.raises(ValueError, match="do not match"):
         wrong.add_run(make_corpus(spark, 50, seed=42), "d1")
+    # BM25 constants count too: a delta encoded at different k1 stores
+    # block maxima that under-bound query scores (silent wrong pruning)
+    with pytest.raises(ValueError, match="do not match"):
+        IndexBuilder(spark, d, n_buckets=4, k1=0.5).add_run(
+            make_corpus(spark, 50, seed=42), "d1"
+        )
     right = IndexBuilder.for_index(spark, d)
     assert right.n_buckets == 4 and right.code_aware is True
     right.add_run(make_corpus(spark, 50, seed=42, partitions=2), "d1")
@@ -222,6 +228,27 @@ def test_purge_run_clears_generations(spark, tmp_path):
     assert b.meta()["n_docs"] == 120 and b.meta()["generations"] == []
     q = make_queries(spark, corpus_n=120, n_queries=4)
     assert wand_search(spark, d, q, k=5).count() > 0
+
+
+def test_crashed_fold_with_changed_inputs_remerges(spark, tmp_path):
+    """A merge-wave manifest left by a CRASHED fold must not be trusted
+    when the rerun's input set differs (new runs arrived, or the
+    generation id was reused after a crashed compact): the wave must
+    re-merge, or the new runs' documents silently never get indexed."""
+    d = str(tmp_path / "crashfold")
+    b = IndexBuilder(spark, d, n_buckets=4)
+    b.build(make_corpus(spark, 150, seed=91, partitions=2))
+    b.add_run(make_corpus(spark, 60, seed=92, partitions=2), "r1")
+    # simulate a refresh that crashed after its merge wave committed but
+    # before doc/term stats, meta, and the generation manifest
+    groot = f"{d}/generations/gen0001"
+    b._merge_waves([f"{d}/runs/r1"], f"{groot}/merged", "genmerge-gen0001", 2)
+    b.add_run(make_corpus(spark, 60, seed=93, partitions=2), "r2")
+    gid = b.refresh_delta(fanin=2)
+    assert gid == "gen0001"  # id reused — with inputs now [r1, r2]
+    meta = b.meta()
+    assert meta["n_docs"] == 150 + 60 + 60  # r2 indexed, r1 not doubled
+    assert sorted(meta["generations"][0]["runs"]) == ["r1", "r2"]
 
 
 def test_refresh_crash_between_meta_and_manifest_converges(spark, tmp_path):
