@@ -358,7 +358,17 @@ class IndexBuilder:
             "k1": self.k1,
             "b": self.b,
         }
-        theirs = {k: meta.get(k) for k in mine}
+        # meta keys absent on older indexes fall back to the SAME
+        # defaults for_index() uses — an old meta must not hard-refuse a
+        # builder constructed with identical effective settings
+        theirs = {
+            "n_buckets": int(meta["n_buckets"]),
+            "n_subs": int(meta.get("n_subs", 1)),
+            "block_size": int(meta.get("block_size", BLOCK_SIZE)),
+            "code_aware": bool(meta.get("code_aware", True)),
+            "k1": float(meta.get("k1", BM25_K1)),
+            "b": float(meta.get("b", BM25_B)),
+        }
         if mine != theirs:
             raise ValueError(
                 f"IndexBuilder settings {mine} do not match the existing "
@@ -632,10 +642,15 @@ class IndexBuilder:
         ``unit_prefix``-scoped names.  Returns (final source dir, waves).
 
         A completed wave step is reused ONLY when its manifest's recorded
-        inputs equal the current group: after a crashed fold, a rerun
-        over a *different* run set (new runs arrived, or a reused
-        generation id after a crashed compact) must re-merge, not
-        silently serve the stale output that covers the wrong runs."""
+        *transitively covered source set* equals the current group's:
+        after a crashed fold, a rerun over a different run set (new runs
+        arrived, or a reused generation id after a crashed compact) must
+        re-merge, not silently serve a stale output covering the wrong
+        runs.  Path equality of direct inputs is NOT enough past wave 0
+        — an upstream output re-merged with different content keeps the
+        same path — so every step records the union of the leaf sources
+        it covers and reuse compares THAT."""
+        covers: dict[str, list[str]] = {s: [s] for s in sources}
         wave = 0
         while len(sources) > 1 or sources[0].startswith(f"{self.dir}/runs/"):
             groups = [sources[i : i + fanin] for i in range(0, len(sources), fanin)]
@@ -643,24 +658,31 @@ class IndexBuilder:
             for gi, grp in enumerate(groups):
                 out = f"{out_root}/wave{wave}/g{gi}"
                 unit = f"{unit_prefix}-w{wave}-g{gi}"
-                prior_inputs = (
-                    fsio.read_json(self._mpath(unit)).get("inputs")
-                    if self._done(unit)
-                    else None
-                )
-                if prior_inputs != grp:
-                    self._merge_group(grp, out, unit)
+                grp_covers = sorted({c for s in grp for c in covers[s]})
+                # one manifest read serves both the completion check and
+                # the coverage comparison (object-store round trips)
+                mpath = self._mpath(unit)
+                prior = fsio.read_json(mpath) if fsio.exists(mpath) else {}
+                if (
+                    prior.get("status") != "complete"
+                    or prior.get("covers") != grp_covers
+                ):
+                    self._merge_group(grp, out, unit, covers=grp_covers)
+                covers[out] = grp_covers
                 nxt.append(out)
             sources = nxt
             wave += 1
         return sources[0], wave
 
-    def _merge_group(self, grp: list[str], out: str, unit: str) -> None:
+    def _merge_group(
+        self, grp: list[str], out: str, unit: str, covers: list[str] | None = None
+    ) -> None:
         """One merge step: repartition-and-sort-within-partitions by shard.
 
         Output: one file per shard inside its bucket dir, rows sorted by
         (term, docID) — the layout the segment encoder and parquet
-        row-group pruning rely on."""
+        row-group pruning rely on.  ``covers`` (the transitive leaf
+        source set) rides in the manifest for crash-rerun validation."""
         postings = self._read_union([f"{s}/postings" for s in grp])
         # range (not hash) keeps every shard its own task at guaranteed
         # balance; the sampling pass re-reads only materialized parquet
@@ -676,7 +698,7 @@ class IndexBuilder:
             .parquet(f"{out}/postings")
         )
         n, per_bucket = _footer_rows(f"{out}/postings", "doc_bucket", spark=self.spark)
-        self._commit(unit, inputs=grp, postings_merged=n,
+        self._commit(unit, inputs=grp, covers=covers or grp, postings_merged=n,
                      postings_per_bucket=per_bucket)
 
     # -- stage 3: finalize (stats + segment encode) -------------------------
@@ -1056,6 +1078,7 @@ class IndexBuilder:
         max_avgdl_drift: float = 0.25,
         fanin: int = 8,
         force: bool = False,
+        delete_victims: bool = True,
     ) -> str | None:
         """Size-tiered generation compaction.
 
@@ -1134,20 +1157,50 @@ class IndexBuilder:
             bytes_compressed=lineage["bytes_compressed"],
         )
         # Victims are unreferenced once meta points away — reclaim.
-        # Shared-deployment note: a reader that loaded the OLD meta can
-        # still be scanning a victim's files; on a multi-tenant cluster
-        # delay this deletion by a grace period (or snapshot-expire via
-        # the table format) instead of deleting inline.  Single-writer
-        # local/batch deployments (this engine's tested mode) are safe:
-        # Searcher re-reads meta per search and reloads.
-        for vid in victims:
-            fsio.rmtree(f"{self.dir}/generations/{vid}")
-            for fn in fsio.listdir(f"{self.dir}/manifests"):
-                if fn == f"generation-{vid}.json" or fn.startswith(
-                    f"genmerge-{vid}-"
-                ):
-                    fsio.remove(f"{self.dir}/manifests/{fn}")
+        # ``delete_victims=False`` defers reclamation: meta-read →
+        # file-scan is not atomic even in-process, so a query that
+        # loaded the OLD meta can still be mid-scan on a victim when
+        # this returns.  Concurrent-reader deployments (including the
+        # continuous streaming mode) write a tombstone instead and let
+        # :meth:`gc_generations` delete after a grace period.
+        if delete_victims:
+            for vid in victims:
+                self._reclaim_generation(vid)
+        else:
+            for vid in victims:
+                _atomic_write_json(
+                    self._mpath(f"gc-{vid}"),
+                    {"unit": f"gc-{vid}", "status": "complete",
+                     "gen_id": vid, "ts": time.time()},
+                )
         return gid
+
+    def _reclaim_generation(self, vid: str) -> None:
+        fsio.rmtree(f"{self.dir}/generations/{vid}")
+        for fn in fsio.listdir(f"{self.dir}/manifests"):
+            if fn == f"generation-{vid}.json" or fn.startswith(
+                f"genmerge-{vid}-"
+            ):
+                fsio.remove(f"{self.dir}/manifests/{fn}")
+
+    def gc_generations(self, grace_sec: float = 600.0) -> list[str]:
+        """Delete compaction victims whose tombstone (written by
+        ``compact(delete_victims=False)``) is older than ``grace_sec`` —
+        by then any reader that loaded the pre-compaction meta has
+        finished its scan.  Returns the reclaimed generation ids."""
+        removed = []
+        now = time.time()
+        for fn in list(fsio.listdir(f"{self.dir}/manifests")):
+            if not (fn.startswith("gc-") and fn.endswith(".json")):
+                continue
+            m = fsio.read_json(f"{self.dir}/manifests/{fn}")
+            if now - float(m.get("ts", 0)) < grace_sec:
+                continue
+            vid = m["gen_id"]
+            self._reclaim_generation(vid)
+            fsio.remove(f"{self.dir}/manifests/{fn}")
+            removed.append(vid)
+        return removed
 
 
 # -- generation-aware readers (query side) ----------------------------------

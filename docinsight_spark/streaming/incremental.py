@@ -28,6 +28,7 @@ def stream_ingest(
     available_now: bool = True,
     refresh_every: int | None = None,
     compact_max_generations: int = 8,
+    gc_grace_sec: float = 600.0,
 ):
     """Ingest corpus files appearing under ``input_dir`` as index runs.
 
@@ -35,31 +36,35 @@ def stream_ingest(
     query drains everything currently present and stops (the batch-
     driven test/bootstrap mode); without it, it keeps tailing.
 
-    ``refresh_every=N`` turns this into the fully continuous mode: after
-    every N micro-batches the sink folds the accumulated runs into the
-    queryable index (O(delta) generation via :func:`refresh`) and lets
-    :meth:`IndexBuilder.compact` bound the generation fan-out — queries
-    running against the index flip to each new generation set
-    atomically (the ``_meta.json`` commit point).  The counter is
-    in-sink state: after a restart the first refresh may come earlier
-    than N batches, which is safe (refresh is idempotent and O(delta)).
+    ``refresh_every=N`` turns this into the fully continuous mode: every
+    N micro-batches (keyed on Spark's checkpointed ``epoch_id``, so the
+    cadence survives restarts) the sink folds the accumulated runs into
+    the queryable index (O(delta) generation via :func:`refresh`) and
+    lets :meth:`IndexBuilder.compact` bound the generation fan-out —
+    queries flip to each new generation set atomically (the
+    ``_meta.json`` commit point).  Compaction victims are NOT deleted
+    inline (a concurrent query may be mid-scan on the old set): they
+    get tombstones and are reclaimed by ``gc_generations`` once older
+    than ``gc_grace_sec``.  Runs landing after the last on-cycle epoch
+    fold at the next cycle; after an ``availableNow`` drain, call
+    :func:`refresh` once to fold any off-cycle tail.
     """
     src = (
         spark.readStream.schema(CORPUS_SCHEMA)
         .option("maxFilesPerTrigger", 64)
         .parquet(input_dir)
     )
-    seen = {"n": 0}
 
     def sink(batch_df, epoch_id: int) -> None:
         # one run per micro-batch; replays of the same epoch hit the
         # completed manifest and no-op (idempotent exactly-once sink)
         builder.add_run(batch_df, f"stream{epoch_id:05d}")
-        if refresh_every:
-            seen["n"] += 1
-            if seen["n"] % refresh_every == 0:
-                refresh(builder)
-                builder.compact(max_generations=compact_max_generations)
+        if refresh_every and (int(epoch_id) + 1) % refresh_every == 0:
+            refresh(builder)
+            builder.compact(
+                max_generations=compact_max_generations, delete_victims=False
+            )
+            builder.gc_generations(grace_sec=gc_grace_sec)
 
     writer = src.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir

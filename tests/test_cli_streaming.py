@@ -174,6 +174,20 @@ def test_streaming_continuous_refresh_and_compact(spark, tmp_path):
     meta = b.meta()
     assert meta["n_docs"] == 140
     assert len(meta["generations"]) == 1  # compacted inside the stream
+    live = meta["generations"][0]["id"]
+    # deferred reclamation: victims are tombstoned, kept on disk for the
+    # grace period (an in-flight query may still scan them), then GC'd
+    import glob as _glob
+    leftovers = [
+        p for p in _glob.glob(f"{idx}/generations/gen*")
+        if os.path.basename(p) != live
+    ]
+    assert leftovers  # victims awaiting grace
+    assert b.gc_generations(grace_sec=0)
+    assert not [
+        p for p in _glob.glob(f"{idx}/generations/gen*")
+        if os.path.basename(p) != live
+    ]
     queries = make_queries(spark, corpus_n=60, n_queries=4)
     assert wand_search(spark, idx, queries, k=5).count() > 0
 

@@ -251,6 +251,31 @@ def test_crashed_fold_with_changed_inputs_remerges(spark, tmp_path):
     assert sorted(meta["generations"][0]["runs"]) == ["r1", "r2"]
 
 
+def test_crashed_multiwave_fold_remerges_downstream(spark, tmp_path):
+    """Past wave 0, path equality of direct inputs cannot detect that an
+    upstream output was re-merged with different content — reuse must
+    compare the transitively covered source set, re-merging downstream
+    waves while still reusing untouched sibling groups."""
+    d = str(tmp_path / "crashmw")
+    b = IndexBuilder(spark, d, n_buckets=4)
+    b.build(make_corpus(spark, 150, seed=95, partitions=2))
+    for i, seed in enumerate((96, 97, 98), start=1):
+        b.add_run(make_corpus(spark, 60, seed=seed, partitions=2), f"r{i}")
+    groot = f"{d}/generations/gen0001"
+    # crash after ALL merge waves of a 3-run fold committed (2 waves at
+    # fanin=2), before stats/meta/manifest
+    b._merge_waves(
+        [f"{d}/runs/r{i}" for i in (1, 2, 3)],
+        f"{groot}/merged", "genmerge-gen0001", 2,
+    )
+    b.add_run(make_corpus(spark, 60, seed=99, partitions=2), "r4")
+    gid = b.refresh_delta(fanin=2)
+    assert gid == "gen0001"
+    meta = b.meta()
+    assert meta["n_docs"] == 150 + 4 * 60  # r4 indexed, nothing doubled
+    assert sorted(meta["generations"][0]["runs"]) == ["r1", "r2", "r3", "r4"]
+
+
 def test_refresh_crash_between_meta_and_manifest_converges(spark, tmp_path):
     """The commit point is the _meta.json write; the generation manifest
     is lineage.  A crash in between must not double-ingest the runs on
