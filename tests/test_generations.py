@@ -320,6 +320,34 @@ def test_searcher_reloads_after_refresh(spark, tmp_path):
     assert served != before  # the delta actually changed some top-k
 
 
+def test_strict_dl_covers_generation_doc_stats(spark, tmp_path, monkeypatch):
+    """DOCINSIGHT_STRICT_DL must also fire on a corrupt GENERATION
+    doc_stats bucket — the multi-root kernel read path, not just the
+    base's."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "strictgen")
+    b = IndexBuilder(spark, d, n_buckets=2)
+    b.build(make_corpus(spark, 120, seed=44, partitions=2))
+    b.add_run(make_corpus(spark, 80, seed=45, partitions=2), "d1")
+    b.refresh_delta(fanin=2)
+    for f in _glob.glob(
+        f"{d}/generations/gen0001/doc_stats/doc_bucket=*/*.parquet"
+    ):
+        t = pq.read_table(f)
+        if t.num_rows > 1:
+            pq.write_table(t.slice(0, t.num_rows // 2), f)
+            break
+    q = make_queries(spark, corpus_n=120, n_queries=10)
+    monkeypatch.setenv("DOCINSIGHT_STRICT_DL", "1")
+    with pytest.raises(Exception, match="doc_stats"):
+        wand_search(spark, d, q, k=5).count()
+    monkeypatch.delenv("DOCINSIGHT_STRICT_DL")
+    assert wand_search(spark, d, q, k=5).count() >= 0
+
+
 def test_compact_folds_generations_same_results(spark, gen_setup):
     """Size-tiered compaction folds the delta generations into one; the
     query surface must not move.  (Runs last in the module — it mutates
