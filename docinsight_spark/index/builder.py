@@ -403,13 +403,23 @@ class IndexBuilder:
         ]
 
     def _read_union(self, paths: list[str]) -> DataFrame:
-        """Union several (possibly partitioned) parquet datasets — separate
-        loads avoid CONFLICTING_DIRECTORY_STRUCTURES on sibling roots."""
+        """Union several (possibly PARTITIONED) parquet datasets — separate
+        loads avoid CONFLICTING_DIRECTORY_STRUCTURES on sibling roots.
+        Only for partitioned roots (merge-wave outputs); plain dirs go
+        through :meth:`_read_plain`."""
         dfs = [self.spark.read.parquet(p) for p in paths]
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d)
         return out
+
+    def _read_plain(self, paths: list[str]) -> DataFrame:
+        """One multi-path scan over UNPARTITIONED sibling dirs (run docs /
+        run postings).  A per-path unionByName would grow the logical
+        plan O(paths) deep — at 10^4-10^5 streaming micro-batch runs
+        that is minutes of analysis time and driver memory; a multi-path
+        relation is a single scan node regardless of path count."""
+        return self.spark.read.parquet(*paths)
 
     # -- stage 1: runs -----------------------------------------------------
 
@@ -441,7 +451,7 @@ class IndexBuilder:
             docs = docs.dropDuplicates(["docID"])
         priors = [m for m in self.manifests() if m["unit"].startswith("run-")]
         if priors:
-            seen = self._read_union(
+            seen = self._read_plain(
                 [f"{self.dir}/runs/{m['run_id']}/docs" for m in priors]
             ).select("docID")
             seen_total = sum(int(m.get("docs", 0)) for m in priors)
@@ -953,7 +963,7 @@ class IndexBuilder:
             for m in self.manifests()
             if m["unit"].startswith("run-")
         ]
-        return self._read_union(paths)
+        return self._read_plain(paths)
 
     def build(
         self,
