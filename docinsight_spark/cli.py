@@ -82,20 +82,34 @@ def cmd_ingest(args) -> int:
 def cmd_compact(args) -> int:
     """Fold small/drifted segment generations into one (size-tiered);
     the reference's ``reindex`` analog, but O(folded generations), not
-    O(corpus)."""
+    O(corpus).
+
+    Victim reclamation defaults to TOMBSTONE mode (``delete_victims=
+    False``): a reader that loaded the pre-compaction ``_meta.json``
+    can still be mid-scan on a victim generation when compact returns,
+    so inline deletion is only safe when no concurrent readers exist —
+    opt in with ``--inline-delete-victims``.  In tombstone mode pass
+    ``--gc-grace SEC`` to also reclaim victims whose tombstones are
+    older than SEC (must exceed the worst-case query scan time)."""
     from docinsight_spark.index.builder import IndexBuilder
 
     spark = _spark("docinsight_compact")
     b = IndexBuilder.for_index(spark, args.index)
     gid = b.compact(
         max_generations=args.max_generations, fanin=args.fanin,
-        force=args.force,
+        force=args.force, delete_victims=args.inline_delete_victims,
+    )
+    reclaimed = (
+        b.gc_generations(grace_sec=args.gc_grace)
+        if args.gc_grace is not None
+        else []
     )
     meta = b.meta()
     print(json.dumps({
         "status": "compacted" if gid else "noop",
         "generation": gid,
         "generations": [g["id"] for g in meta.get("generations", [])],
+        "reclaimed": reclaimed,
     }))
     return 0
 
@@ -198,6 +212,16 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--max-generations", type=int, default=8)
     c.add_argument("--fanin", type=int, default=8)
     c.add_argument("--force", action="store_true")
+    c.add_argument(
+        "--inline-delete-victims", action="store_true",
+        help="delete victim generations inline (ONLY safe with no "
+             "concurrent readers); default is tombstone + gc_generations",
+    )
+    c.add_argument(
+        "--gc-grace", type=float, default=None, metavar="SEC",
+        help="also reclaim tombstoned victims older than SEC "
+             "(pick SEC above the worst-case query scan time)",
+    )
     c.set_defaults(fn=cmd_compact)
 
     q = sub.add_parser("query", help="BM25 top-k search")

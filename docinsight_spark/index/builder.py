@@ -55,8 +55,10 @@ extra Spark jobs) — the engine's analog of the reference's
 
 from __future__ import annotations
 
+import contextlib
 import os
 import time
+import uuid
 from typing import Iterator
 
 import numpy as np
@@ -84,6 +86,64 @@ SEGMENT_SCHEMA = (
 
 def _atomic_write_json(path: str, payload: dict) -> None:
     fsio.write_json_atomic(path, payload)
+
+
+class WriterLeaseHeld(RuntimeError):
+    """Another writer holds (or took over) this index's writer lease."""
+
+
+def _leased(fn):
+    """Run a mutating IndexBuilder method under the writer lease
+    (re-entrant — nested leased calls reuse the outer frame's lease)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(self, *args, **kwargs):
+        with self._lease():
+            return fn(self, *args, **kwargs)
+
+    return wrapper
+
+
+# Rollup ledger: one JSON mapping unit -> manifest for all FOLDED units.
+# Loose per-unit files stay the crash-atomic commit primitive; the ledger
+# keeps manifests() at O(1) driver reads under 10^4-10^5 streaming runs.
+_LEDGER = "_ledger.json"
+
+
+def _read_ledger(index_dir: str) -> dict[str, dict]:
+    p = f"{index_dir}/manifests/{_LEDGER}"
+    if not fsio.exists(p):
+        return {}
+    return dict(fsio.read_json(p).get("units", {}))
+
+
+def _ledger_strip(index_dir: str, drop) -> None:
+    """Remove ledger entries whose unit name satisfies ``drop`` (used by
+    generation reclaim / per-run purge so deleted artifacts don't leave
+    stale lineage behind in the rolled-up ledger)."""
+    p = f"{index_dir}/manifests/{_LEDGER}"
+    if not fsio.exists(p):
+        return
+    units = _read_ledger(index_dir)
+    kept = {u: m for u, m in units.items() if not drop(u)}
+    if len(kept) != len(units):
+        _atomic_write_json(p, {"units": kept, "ts": time.time()})
+
+
+def read_manifests(index_dir: str) -> list[dict]:
+    """All committed unit manifests: the rolled-up ledger plus any loose
+    per-unit files (a loose file overrides its ledger copy — it is the
+    newer write).  Only committed manifests count: a crash between
+    tmp-write and rename leaves *.json.tmp.<pid> files that must not
+    count as lineage."""
+    units = _read_ledger(index_dir)
+    for fn in fsio.listdir(f"{index_dir}/manifests"):
+        if not fn.endswith(".json") or fn == _LEDGER:
+            continue
+        m = fsio.read_json(f"{index_dir}/manifests/{fn}")
+        units[m.get("unit", fn[: -len(".json")])] = m
+    return list(units.values())
 
 
 # Past this many files, driver-side footer reads (even threaded) are
@@ -280,6 +340,7 @@ class IndexBuilder:
         b: float = BM25_B,
         code_aware: bool = True,
         broadcast_seen_max: int = 2_000_000,
+        lease_ttl_sec: float = 3600.0,
     ):
         """``n_buckets`` = on-disk partition dirs; ``n_subs`` = intra-bucket
         shards.  ``B × K`` shards are the unit of sort/query parallelism;
@@ -288,10 +349,18 @@ class IndexBuilder:
         Concurrency model: ONE writer (build / add_run / refresh_delta /
         compact) at a time per index dir — the manifest protocol makes
         any step crash-resumable and idempotent, but two concurrent
-        writers could race on the same generation id.  Readers are
-        unrestricted: they see exactly the generations committed in
-        ``_meta.json`` (atomic tmp+rename), so queries run safely
-        DURING a refresh and flip to the new generation set atomically.
+        writers could race on the same generation id.  The contract is
+        ENFORCED by a TTL writer lease (``_writer.lock``): every
+        mutating op acquires it (atomic exclusive create), heartbeats
+        it at each manifest commit (which doubles as a fence check — a
+        writer whose lease was taken over fails loudly instead of
+        committing), and releases it at op end.  A crashed writer's
+        lease expires after ``lease_ttl_sec`` and is taken over; size
+        the TTL above the longest gap between manifest commits (one
+        merge wave / one segment encode).  Readers are unrestricted:
+        they see exactly the generations committed in ``_meta.json``
+        (atomic tmp+rename), so queries run safely DURING a refresh and
+        flip to the new generation set atomically.
 
         Sizing at scale: pick ``B × K`` ≈ 2-4× total executor cores so
         every core owns a few shards per wave, and so one shard's
@@ -312,7 +381,9 @@ class IndexBuilder:
         # switches from a broadcast anti-join to a Bloom pre-gate + plain
         # anti-join (the seen side is never broadcast whole)
         self.broadcast_seen_max = broadcast_seen_max
+        self.lease_ttl_sec = lease_ttl_sec
         self._gate_cache: list[DataFrame] = []
+        self._lease_token: str | None = None
         fsio.makedirs(f"{self.dir}/manifests")
 
     @classmethod
@@ -376,31 +447,195 @@ class IndexBuilder:
                 "with the index's settings or purge and rebuild"
             )
 
+    def _settings(self) -> dict:
+        """The geometry/tokenizer settings that must agree across every
+        writer of one index (mirrors :meth:`_check_meta_compat`)."""
+        return {
+            "n_buckets": self.n_buckets,
+            "n_subs": self.n_subs,
+            "block_size": self.block_size,
+            "code_aware": self.code_aware,
+            "k1": self.k1,
+            "b": self.b,
+        }
+
+    def _check_run_compat(self) -> None:
+        """Pre-finalize compat gate: before the first ``finalize()``
+        there is no ``_meta.json`` for :meth:`_check_meta_compat` to
+        validate against, so repeated ``ingest --no-refresh`` calls with
+        different ``--buckets``/``--subs``/``--simple-tokens`` would
+        silently record runs sharded/tokenized differently and later
+        merge into one broken index.  Every run manifest records its
+        builder settings; a new run must match the prior runs'."""
+        mine = self._settings()
+        for m in self.manifests():
+            if not m["unit"].startswith("run-"):
+                continue
+            theirs = m.get("settings")
+            if theirs is None:
+                continue  # pre-round-5 manifest: nothing to validate
+            theirs = {k: theirs[k] for k in mine if k in theirs}
+            if {k: mine[k] for k in theirs} != theirs:
+                raise ValueError(
+                    f"builder settings {mine} do not match run "
+                    f"{m['run_id']}'s recorded settings {theirs}; "
+                    "construct the builder with the same settings used "
+                    "for prior runs (or purge the index)"
+                )
+
+    # -- writer lease -------------------------------------------------------
+
+    @property
+    def _lock_path(self) -> str:
+        return f"{self.dir}/_writer.lock"
+
+    @contextlib.contextmanager
+    def _lease(self):
+        """Hold the writer lease for the duration of one mutating op.
+        Re-entrant within a builder instance (``build`` nests
+        ``add_run``/``merge_all``/``finalize``; ``refresh_delta`` nests
+        ``finalize``) — only the outermost frame acquires/releases."""
+        if self._lease_token is not None:
+            yield
+            return
+        token = uuid.uuid4().hex
+        self._lease_acquire(token)
+        self._lease_token = token
+        try:
+            yield
+        finally:
+            self._lease_token = None
+            self._lease_release(token)
+
+    def _lease_acquire(self, token: str) -> None:
+        payload = {
+            "owner": token, "ts": time.time(),
+            "ttl": self.lease_ttl_sec, "pid": os.getpid(),
+        }
+        for _attempt in range(3):
+            if fsio.create_exclusive_json(self._lock_path, payload):
+                return
+            try:
+                cur = fsio.read_json(self._lock_path)
+            except (FileNotFoundError, OSError):
+                continue  # released between exists-check and read: retry
+            age = time.time() - float(cur.get("ts", 0.0))
+            if age <= float(cur.get("ttl", self.lease_ttl_sec)):
+                raise WriterLeaseHeld(
+                    f"index {self.dir} has a live writer lease "
+                    f"(owner {cur.get('owner', '?')[:8]}…, pid "
+                    f"{cur.get('pid')}, age {age:.0f}s < ttl "
+                    f"{cur.get('ttl')}s); a second concurrent writer "
+                    "would race generation ids — wait, or let the lease "
+                    "expire if that writer crashed"
+                )
+            # stale lease (crashed writer): take over — delete + retry
+            # the exclusive create; a racing stealer makes the create
+            # fail and the next iteration re-reads the fresh lock
+            with contextlib.suppress(FileNotFoundError, OSError):
+                fsio.remove(self._lock_path)
+        raise WriterLeaseHeld(
+            f"could not acquire the writer lease for {self.dir} after "
+            "repeated takeover attempts (another writer keeps winning)"
+        )
+
+    def _lease_release(self, token: str) -> None:
+        with contextlib.suppress(FileNotFoundError, OSError):
+            cur = fsio.read_json(self._lock_path)
+            if cur.get("owner") == token:
+                fsio.remove(self._lock_path)
+
+    def _lease_fence(self) -> None:
+        """Verify we still own the lease, and heartbeat it.  Called at
+        every manifest commit: a writer that lost its lease (TTL expiry
+        + takeover while it stalled) must fail loudly BEFORE publishing
+        lineage, not race the new writer's generation ids."""
+        if self._lease_token is None:
+            return  # op running without a lease frame (direct test use)
+        cur = (
+            fsio.read_json(self._lock_path)
+            if fsio.exists(self._lock_path)
+            else None
+        )
+        if cur is None or cur.get("owner") != self._lease_token:
+            raise WriterLeaseHeld(
+                f"writer lease for {self.dir} was lost (taken over by "
+                f"{(cur or {}).get('owner', 'nobody')!r}); aborting "
+                "before commit — rerun to resume from completed units"
+            )
+        cur["ts"] = time.time()
+        _atomic_write_json(self._lock_path, cur)
+
     # -- lineage -----------------------------------------------------------
 
     def _mpath(self, unit: str) -> str:
         return f"{self.dir}/manifests/{unit}.json"
 
     def _done(self, unit: str) -> bool:
+        m = self._manifest(unit)
+        return m is not None and m.get("status") == "complete"
+
+    def _manifest(self, unit: str) -> dict | None:
+        """One unit's manifest: the loose per-unit file wins (it is
+        always at least as new as its ledger copy), ledger otherwise."""
         p = self._mpath(unit)
-        if not fsio.exists(p):
-            return False
-        return fsio.read_json(p).get("status") == "complete"
+        if fsio.exists(p):
+            return fsio.read_json(p)
+        return _read_ledger(self.dir).get(unit)
 
     def _commit(self, unit: str, **counters) -> None:
+        self._lease_fence()  # fail loudly if the lease was taken over
         _atomic_write_json(
             self._mpath(unit),
             {"unit": unit, "status": "complete", "ts": time.time(), **counters},
         )
 
     def manifests(self) -> list[dict]:
-        # only committed manifests: a crash between tmp-write and rename
-        # leaves *.json.tmp.<pid> files that must not count as lineage
-        return [
-            fsio.read_json(f"{self.dir}/manifests/{fn}")
-            for fn in fsio.listdir(f"{self.dir}/manifests")
-            if fn.endswith(".json")
-        ]
+        return read_manifests(self.dir)
+
+    def fold_ledger(self) -> int:
+        """Roll loose per-unit manifest files into ``_ledger.json`` (one
+        atomically-rewritten file), then delete them — ``manifests()``
+        stays O(1) driver reads no matter how many units accumulated.
+
+        Without this, a continuous-mode deployment pays O(runs) object-
+        store JSON round trips per ``manifests()`` call (every
+        ``add_run`` / ``refresh_delta`` / ``_covered_runs``) — O(runs²)
+        cumulative over 10^4-10^5 streaming micro-batches.  Called at
+        each finalize / refresh / compact; per-unit files keep being
+        written for in-flight units (they are the crash-atomic commit
+        primitive), so loose count stays bounded by one fold cycle.
+
+        ``gc-*`` tombstones are deliberately NOT folded: they are
+        transient (O(compaction victims)) and ``gc_generations``
+        deletes them file-by-file.  Returns the number folded."""
+        units = _read_ledger(self.dir)
+        folded = 0
+        for fn in fsio.listdir(f"{self.dir}/manifests"):
+            if (
+                not fn.endswith(".json")
+                or fn == _LEDGER
+                or fn.startswith("gc-")
+            ):
+                continue
+            m = fsio.read_json(f"{self.dir}/manifests/{fn}")
+            units[m.get("unit", fn[: -len(".json")])] = m
+            folded += 1
+        if folded:
+            _atomic_write_json(
+                f"{self.dir}/manifests/{_LEDGER}",
+                {"units": units, "ts": time.time()},
+            )
+            # only delete AFTER the ledger rename landed: a crash between
+            # the two leaves duplicates (loose wins — harmless), never loss
+            for fn in fsio.listdir(f"{self.dir}/manifests"):
+                if (
+                    fn.endswith(".json")
+                    and fn != _LEDGER
+                    and not fn.startswith("gc-")
+                ):
+                    fsio.remove(f"{self.dir}/manifests/{fn}")
+        return folded
 
     def _read_union(self, paths: list[str]) -> DataFrame:
         """Union several (possibly PARTITIONED) parquet datasets — separate
@@ -431,6 +666,7 @@ class IndexBuilder:
             F.pmod(F.xxhash64(F.col("docID")), F.lit(self.n_subs)).cast("int"),
         )
 
+    @_leased
     def add_run(
         self, corpus: DataFrame, run_id: str, dedup_within_run: bool = True
     ) -> None:
@@ -446,6 +682,7 @@ class IndexBuilder:
         if self._done(unit):
             return
         self._check_meta_compat()
+        self._check_run_compat()
         docs = with_doc_id(corpus)
         if dedup_within_run:
             docs = docs.dropDuplicates(["docID"])
@@ -504,7 +741,8 @@ class IndexBuilder:
         langs = {lg: int(n or 0) for lg, n in lang_row.items()}
         langs = {lg: n for lg, n in langs.items() if n > 0}
         self._commit(
-            unit, run_id=run_id, postings=n_postings, docs=n_docs, langs=langs
+            unit, run_id=run_id, postings=n_postings, docs=n_docs, langs=langs,
+            settings=self._settings(),
         )
 
     def _majority_lang(self, run_ids: set[str] | None = None) -> str:
@@ -601,6 +839,7 @@ class IndexBuilder:
         nums = [int(i[3:]) for i in ids if i.startswith("gen")]
         return f"gen{max(nums, default=0) + 1:04d}"
 
+    @_leased
     def merge_all(self, fanin: int = 8) -> str:
         """Repartition-and-sort merge waves until one shard-sorted layout
         remains; resumable per wave step.
@@ -671,8 +910,7 @@ class IndexBuilder:
                 grp_covers = sorted({c for s in grp for c in covers[s]})
                 # one manifest read serves both the completion check and
                 # the coverage comparison (object-store round trips)
-                mpath = self._mpath(unit)
-                prior = fsio.read_json(mpath) if fsio.exists(mpath) else {}
+                prior = self._manifest(unit) or {}
                 if (
                     prior.get("status") != "complete"
                     or prior.get("covers") != grp_covers
@@ -775,6 +1013,7 @@ class IndexBuilder:
             sum_dl = int(row["sum_dl"] or 0)
         return n_docs, avgdl, sum_dl
 
+    @_leased
     def finalize(self, merged_dir: str | None = None) -> None:
         if self._done("finalize"):
             return
@@ -828,6 +1067,7 @@ class IndexBuilder:
             n_docs=n_docs,
             avgdl=avgdl,
         )
+        self.fold_ledger()
 
     def _encode_segments(
         self,
@@ -986,8 +1226,184 @@ class IndexBuilder:
     def meta(self) -> dict:
         return fsio.read_json(f"{self.dir}/_meta.json")
 
+    # -- doc-level deletes (tombstone sets, O(tombstone) not O(corpus)) ------
+
+    def _next_del_id(self) -> str:
+        """Monotonic delete-set id across meta AND manifests (a crashed
+        delete may have committed either side first)."""
+        ids = [t["id"] for t in self.meta().get("tombstones", [])] if fsio.exists(
+            f"{self.dir}/_meta.json"
+        ) else []
+        ids += [
+            m["del_id"] for m in self.manifests()
+            if m["unit"].startswith("delete-") and "del_id" in m
+        ]
+        nums = [int(i[3:]) for i in ids if i.startswith("del")]
+        return f"del{max(nums, default=0) + 1:04d}"
+
+    def _live_roots(self) -> list[tuple[str, str, str | None]]:
+        """(root_id, root_dir, merged_postings_dir) for the base set and
+        every committed generation — the physical homes a document can
+        live in."""
+        meta = self.meta()
+        final = [m for m in self.manifests() if m["unit"] == "merged-final"]
+        base_src = f"{final[0]['source']}/postings" if final else None
+        out = [("base", self.dir, base_src)]
+        for g in meta.get("generations", []):
+            src = g.get("merged_source")
+            out.append(
+                (g["id"], f"{self.dir}/generations/{g['id']}",
+                 f"{src}/postings" if src else None)
+            )
+        return out
+
+    @_leased
+    def delete_docs(self, victims: DataFrame) -> str | None:
+        """O(delta) doc-level delete: record ``victims``' docIDs as a
+        TOMBSTONE set — no segment is rewritten, no rebuild happens.
+
+        The reference deletes one source with a cascade DELETE
+        (``/root/reference/db/db_manager.py:145-165``); at segment-index
+        scale the LSM answer is a delete marker:
+
+        * ``tombstones/<id>/docs`` — (docID, dl), partitioned by the
+          physical root (base / generation id) holding the doc and by
+          ``doc_bucket``: the WAND kernel excludes these docIDs with a
+          bucket-local read (same pattern as doc_stats), and compaction
+          can drop a root's markers the moment that root's postings are
+          physically rewritten without them.
+        * ``tombstones/<id>/term_stats_neg`` — per-(root, term) df
+          corrections, aggregated from ONE scan of the merged postings
+          restricted (broadcast semi-join) to the victim docIDs — the
+          only corpus-wide read a delete pays; everything else is
+          O(victims).  Query-time df sums base + generation deltas MINUS
+          these (lazily, under the query's term filter — no O(vocab)
+          job), so idf is exactly the surviving corpus's.
+        * ``_meta.json`` — global N / Σdl / avgdl updated to the exact
+          surviving values (the commit point readers flip on).
+
+        Queries after this return results rank-identical to a full
+        rebuild without the victims.  Deleted docIDs stay excluded until
+        physically reclaimed (compaction rewrites generation roots
+        without them; the base set drops them at the next full rebuild).
+        Re-ingesting a tombstoned docID is NOT supported until then —
+        the cross-run dedup gate still sees the original run docs, and
+        the tombstone would shadow the re-add; purge + rebuild is the
+        escape hatch (documented LSM-delete semantics, delete-wins).
+
+        ``victims``: any DataFrame with a ``docID`` column.  Returns the
+        new delete-set id, or ``None`` when no victim is actually live
+        in the index."""
+        if not self._done("finalize"):
+            raise ValueError("delete_docs requires a finalized index")
+        self._check_meta_compat()
+        did = self._next_del_id()
+        unit = f"delete-{did}"
+        if self._done(unit):
+            return did
+        roots = self._live_roots()
+        ds = _union_frames([
+            self.spark.read.parquet(f"{rdir}/doc_stats")
+            .select("docID", "dl", "doc_bucket")
+            .withColumn("root", F.lit(rid))
+            for rid, rdir, _src in roots
+        ])
+        vic_ids = victims.select("docID").distinct()
+        meta = self.meta()
+        prior = meta.get("tombstones", [])
+        vic = ds.join(vic_ids, "docID")
+        if prior:
+            # already-deleted docs must not subtract twice
+            vic = vic.join(
+                load_tombstone_docs(self.spark, self.dir, meta), "docID",
+                "left_anti",
+            )
+        troot = f"{self.dir}/tombstones/{did}"
+        (
+            vic.repartition("root")
+            .sortWithinPartitions("doc_bucket", "docID")
+            .write.mode("overwrite")
+            .partitionBy("root", "doc_bucket")
+            .parquet(f"{troot}/docs")
+        )
+        per_root_rows = (
+            self.spark.read.parquet(f"{troot}/docs")
+            .groupBy("root")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s"))
+            .collect()
+        )
+        per_root = {
+            r["root"]: {"n_docs": int(r["n"]), "sum_dl": int(r["s"] or 0)}
+            for r in per_root_rows
+        }
+        n_vic = sum(v["n_docs"] for v in per_root.values())
+        if n_vic == 0:
+            fsio.rmtree(troot)
+            return None
+        sum_vic = sum(v["sum_dl"] for v in per_root.values())
+
+        # per-(root, term) df corrections from one pass over the merged
+        # postings; the victim side broadcasts when small (the common
+        # delete), else the join falls back to AQE's choice
+        vic_keys = self.spark.read.parquet(f"{troot}/docs").select(
+            "docID", "root"
+        )
+        if n_vic <= self.broadcast_seen_max:
+            vic_keys = F.broadcast(vic_keys)
+        posts = _union_frames([
+            self.spark.read.parquet(src)
+            .select("term", "docID")
+            .withColumn("root", F.lit(rid))
+            for rid, _rdir, src in roots
+            if src is not None
+        ])
+        (
+            posts.join(vic_keys, ["docID", "root"])
+            .groupBy("root", "term")
+            .agg(F.count(F.lit(1)).alias("df_neg"))
+            .repartition("root")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .partitionBy("root")
+            .parquet(f"{troot}/term_stats_neg")
+        )
+
+        # commit point: meta flips readers to the corrected stats +
+        # tombstone list atomically; the manifest is lineage
+        meta = self.meta()
+        tombs = [t for t in meta.get("tombstones", []) if t["id"] != did]
+        tombs.append(
+            {"id": did, "per_root": per_root,
+             "n_docs": n_vic, "sum_dl": sum_vic}
+        )
+        g_n = int(meta["n_docs"]) - n_vic
+        g_sum = int(meta["sum_dl"]) - sum_vic
+        meta.update(
+            n_docs=g_n,
+            sum_dl=g_sum,
+            avgdl=g_sum / max(g_n, 1),
+            tombstones=tombs,
+        )
+        _atomic_write_json(f"{self.dir}/_meta.json", meta)
+        self._commit(
+            unit, del_id=did, n_docs=n_vic, sum_dl=sum_vic,
+            per_root=per_root,
+        )
+        self.fold_ledger()
+        return did
+
+    def delete_matching(self, condition) -> str | None:
+        """Delete every doc of :meth:`docs_dim` satisfying ``condition``
+        (a Column / SQL string) — the reference's ``purge_source``
+        analog (delete one repo / path prefix / source) without a
+        rebuild."""
+        return self.delete_docs(
+            self.docs_dim().filter(condition).select("docID")
+        )
+
     # -- incremental generations (O(delta) refresh + compaction) -------------
 
+    @_leased
     def refresh_delta(self, fanin: int = 8) -> str | None:
         """O(delta) incremental refresh: fold runs not yet covered by the
         base index or an existing generation into a NEW segment
@@ -1036,13 +1452,26 @@ class IndexBuilder:
             self._commit(
                 f"generation-{gid}", gen_id=gid, runs=new, empty=True, n_docs=0
             )
+            self.fold_ledger()
             return gid
         postings = self.spark.read.parquet(f"{src}/postings")
         n_new, _avg_new, sum_new = self._write_doc_term_stats(postings, groot)
         meta = self.meta()
         gens = [g for g in meta.get("generations", []) if g["id"] != gid]
-        g_n = meta["base"]["n_docs"] + sum(g["n_docs"] for g in gens) + n_new
-        g_sum = meta["base"]["sum_dl"] + sum(g["sum_dl"] for g in gens) + sum_new
+        # the global identity: base + generations − live tombstones
+        # (per-set encode stats are PRE-delete; deletions are carried by
+        # the tombstone entries until physical reclaim)
+        tombs = meta.get("tombstones", [])
+        t_n = sum(int(t["n_docs"]) for t in tombs)
+        t_sum = sum(int(t["sum_dl"]) for t in tombs)
+        g_n = (
+            meta["base"]["n_docs"] + sum(g["n_docs"] for g in gens)
+            + n_new - t_n
+        )
+        g_sum = (
+            meta["base"]["sum_dl"] + sum(g["sum_dl"] for g in gens)
+            + sum_new - t_sum
+        )
         g_avg = g_sum / max(g_n, 1)
         # encode the delta at the NEW global avgdl: the freshest
         # generation gets tight bounds; older sets fall back to the
@@ -1080,8 +1509,10 @@ class IndexBuilder:
             segments_built=lineage["segments_built"],
             bytes_compressed=lineage["bytes_compressed"],
         )
+        self.fold_ledger()
         return gid
 
+    @_leased
     def compact(
         self,
         max_generations: int = 8,
@@ -1183,6 +1614,7 @@ class IndexBuilder:
                     {"unit": f"gc-{vid}", "status": "complete",
                      "gen_id": vid, "ts": time.time()},
                 )
+        self.fold_ledger()
         return gid
 
     def _reclaim_generation(self, vid: str) -> None:
@@ -1192,12 +1624,29 @@ class IndexBuilder:
                 f"genmerge-{vid}-"
             ):
                 fsio.remove(f"{self.dir}/manifests/{fn}")
+        _ledger_strip(
+            self.dir,
+            lambda u: u == f"generation-{vid}"
+            or u.startswith(f"genmerge-{vid}-"),
+        )
 
+    @_leased
     def gc_generations(self, grace_sec: float = 600.0) -> list[str]:
         """Delete compaction victims whose tombstone (written by
         ``compact(delete_victims=False)``) is older than ``grace_sec`` —
         by then any reader that loaded the pre-compaction meta has
-        finished its scan.  Returns the reclaimed generation ids."""
+        finished its scan.  Returns the reclaimed generation ids.
+
+        ``grace_sec`` is a *contract with readers*, judged purely by the
+        writer's wall clock against the tombstone timestamp: it MUST
+        exceed the worst-case query scan time (plus any writer/reader
+        clock skew on shared or object storage — victims written by
+        another host carry that host's clock).  A reader whose scan
+        outlives the grace can still lose a generation mid-scan; there
+        is deliberately no reader registration/refcount (an object
+        store has no cheap primitive for it).  Deployments with long
+        analytical scans should size grace_sec in hours, not minutes —
+        deferred reclamation only costs storage."""
         removed = []
         now = time.time()
         for fn in list(fsio.listdir(f"{self.dir}/manifests")):
@@ -1223,6 +1672,65 @@ def doc_stats_roots(index_dir: str, meta: dict) -> list[str]:
         f"{index_dir}/generations/{g['id']}"
         for g in meta.get("generations", [])
     ]
+
+
+def tombstone_bucket_dirs(index_dir: str, meta: dict) -> list[str]:
+    """Per-(delete-set, root) docs dirs of every live tombstone — the
+    kernel appends ``/doc_bucket=<b>`` for its bucket-local exclusion
+    read (mirrors the doc_stats layout; no Spark job, no shuffle)."""
+    return [
+        f"{index_dir}/tombstones/{t['id']}/docs/root={rid}"
+        for t in meta.get("tombstones", [])
+        for rid in t.get("per_root", {})
+    ]
+
+
+def read_tombstone_bucket(dirs: list[str], bucket: int) -> np.ndarray | None:
+    """Sorted deleted docIDs for one bucket across all live tombstone
+    roots (``dirs`` from :func:`tombstone_bucket_dirs`); ``None`` when
+    nothing is tombstoned in the bucket."""
+    import pyarrow.parquet as pq
+
+    parts = []
+    for d in dirs:
+        path = f"{d}/doc_bucket={bucket}"
+        if not fsio.exists(path):
+            continue
+        fs, p = fsio.resolve(path)
+        parts.append(
+            pq.read_table(p, columns=["docID"], filesystem=fs)
+            .column("docID").to_numpy()
+        )
+    if not parts:
+        return None
+    out = np.concatenate(parts) if len(parts) > 1 else parts[0]
+    return np.sort(out)
+
+
+def load_tombstone_docs(
+    spark: SparkSession, index_dir: str, meta: dict
+) -> DataFrame | None:
+    """One ``docID`` frame of every tombstoned (deleted, not yet
+    physically reclaimed) doc; ``None`` when the index has no live
+    tombstones."""
+    paths = [
+        f"{index_dir}/tombstones/{t['id']}/docs"
+        for t in meta.get("tombstones", [])
+    ]
+    if not paths:
+        return None
+    frames = [spark.read.parquet(p).select("docID") for p in paths]
+    return _union_frames(frames)
+
+
+def _minus_tombstones(
+    spark: SparkSession, df: DataFrame, index_dir: str, meta: dict
+) -> DataFrame:
+    tomb = load_tombstone_docs(spark, index_dir, meta)
+    if tomb is None:
+        return df
+    # tombstone sets are small relative to the corpus (else you rebuild)
+    return df.join(F.broadcast(tomb), "docID", "left_anti")
 
 
 def _union_frames(frames: list[DataFrame]) -> DataFrame:
@@ -1265,13 +1773,33 @@ def load_term_stats(spark: SparkSession, index_dir: str, meta: dict) -> DataFram
         frames.append(
             spark.read.parquet(f"{index_dir}/generations/{g['id']}/term_stats")
         )
+    # tombstone df corrections: per-(root, term) negatives recorded at
+    # delete time join the same lazy sum — idf is the SURVIVING corpus's
+    # exactly, still under the query's pushed term filter
+    for t in meta.get("tombstones", []):
+        neg = f"{index_dir}/tombstones/{t['id']}/term_stats_neg"
+        if fsio.exists(neg):
+            # restrict to the tombstone's LIVE roots: a root compacted
+            # away already dropped those docs physically (its term_stats
+            # no longer counts them), so its negatives must not apply —
+            # the meta per_root list is the commit point, not the dirs
+            frames.append(
+                spark.read.parquet(neg)
+                .filter(F.col("root").isin(list(t.get("per_root", {}))))
+                .select("term", (-F.col("df_neg")).alias("df"))
+            )
     if len(frames) == 1:
         return frames[0]
-    return _union_frames(frames).groupBy("term").agg(F.sum("df").alias("df"))
+    return (
+        _union_frames([f.select("term", "df") for f in frames])
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+    )
 
 
 def load_doc_stats(spark: SparkSession, index_dir: str, meta: dict) -> DataFrame:
-    """(docID, dl) across base + generations (docIDs disjoint)."""
+    """(docID, dl) across base + generations (docIDs disjoint),
+    tombstoned docs excluded."""
     frames = [
         spark.read.parquet(f"{index_dir}/doc_stats").select("docID", "dl")
     ]
@@ -1281,18 +1809,15 @@ def load_doc_stats(spark: SparkSession, index_dir: str, meta: dict) -> DataFrame
                 f"{index_dir}/generations/{g['id']}/doc_stats"
             ).select("docID", "dl")
         )
-    return _union_frames(frames)
+    return _minus_tombstones(spark, _union_frames(frames), index_dir, meta)
 
 
 def load_merged_postings(spark: SparkSession, index_dir: str, meta: dict) -> DataFrame:
     """(term, docID, tf) across the base merge output + every
     generation's merge output — the exact-oracle input."""
-    manifests = [
-        fsio.read_json(f"{index_dir}/manifests/{fn}")
-        for fn in fsio.listdir(f"{index_dir}/manifests")
-        if fn.endswith(".json")
+    final = [
+        m for m in read_manifests(index_dir) if m.get("unit") == "merged-final"
     ]
-    final = [m for m in manifests if m.get("unit") == "merged-final"]
     if not final:
         raise ValueError("index has no merged-final manifest")
     frames = [
@@ -1306,7 +1831,7 @@ def load_merged_postings(spark: SparkSession, index_dir: str, meta: dict) -> Dat
                 "term", "docID", "tf"
             )
         )
-    return _union_frames(frames)
+    return _minus_tombstones(spark, _union_frames(frames), index_dir, meta)
 
 
 def purge_index(index_dir: str) -> None:
@@ -1314,8 +1839,8 @@ def purge_index(index_dir: str) -> None:
     merges, generations, manifests) — the reference's cascade purge +
     VACUUM (``/root/reference/db/db_manager.py:145-165``)."""
     for sub in ("segments", "doc_stats", "term_stats", "docs", "runs",
-                "merged", "generations", "manifests",
-                "lineage_segments.json", "_meta.json"):
+                "merged", "generations", "tombstones", "manifests",
+                "lineage_segments.json", "_meta.json", "_writer.lock"):
         fsio.rmtree(f"{index_dir}/{sub}")
 
 
@@ -1331,9 +1856,17 @@ def purge_run(index_dir: str, run_id: str) -> None:
         # also delete manifests of runs whose id merely extends run_id
         # (purging "stream0001" must not touch "stream00010")
         if fn == f"run-{run_id}.json" or fn.startswith(
-            ("merge-", "merged-final", "finalize", "generation-", "genmerge-")
+            ("merge-", "merged-final", "finalize", "generation-",
+             "genmerge-", "delete-")
         ):
             fsio.remove(f"{mdir}/{fn}")
+    _ledger_strip(
+        index_dir,
+        lambda u: u == f"run-{run_id}"
+        or u.startswith(("merge-", "merged-final", "finalize",
+                         "generation-", "genmerge-", "delete-")),
+    )
+    fsio.rmtree(f"{index_dir}/tombstones")
     fsio.rmtree(f"{index_dir}/merged")
     fsio.rmtree(f"{index_dir}/generations")
     fsio.rmtree(f"{index_dir}/_meta.json")

@@ -57,6 +57,36 @@ def write_json_atomic(path: str, payload: dict) -> None:
             out.write(data)
 
 
+def create_exclusive_json(path: str, payload: dict) -> bool:
+    """Create ``path`` with ``payload`` ONLY if it does not exist.
+
+    Returns False when the file already exists.  On local filesystems
+    this is a true atomic create (``O_CREAT|O_EXCL``) — the writer-lease
+    primitive.  Object stores have no portable atomic create; there the
+    check-then-put is best-effort (S3 offers ``If-None-Match`` puts but
+    pyarrow.fs does not expose them), which still catches every
+    non-simultaneous second writer — the failure mode the lease exists
+    for (two *racing* acquisitions within one round trip remain possible
+    on such stores and must be prevented by deployment convention)."""
+    fs, p = resolve(path)
+    data = json.dumps(payload, indent=1, default=str).encode()
+    if _is_local(fs):
+        try:
+            fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+        except FileExistsError:
+            return False
+        try:
+            os.write(fd, data)
+        finally:
+            os.close(fd)
+        return True
+    if fs.get_file_info(p).type != pafs.FileType.NotFound:
+        return False
+    with fs.open_output_stream(p) as out:
+        out.write(data)
+    return True
+
+
 def read_json(path: str) -> Any:
     fs, p = resolve(path)
     with fs.open_input_stream(p) as f:

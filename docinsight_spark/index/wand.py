@@ -63,7 +63,9 @@ from docinsight_spark.index.builder import (
     load_term_stats,
     lookup_dl,
     read_doc_stats_bucket_multi,
+    read_tombstone_bucket,
     strict_dl_enabled,
+    tombstone_bucket_dirs,
 )
 from docinsight_spark.index.codec import BlockMeta, decode_block
 
@@ -148,6 +150,7 @@ def _score_shard(
     b: float,
     k: int,
     dl_of,
+    excl: np.ndarray | None = None,
 ) -> list[tuple[int, int, float]]:
     term_rows: dict[str, list[_SegRow]] = {}
     for r in rows:
@@ -189,6 +192,15 @@ def _score_shard(
                     np.searchsorted(doc_filter, d, side="right")
                     - np.searchsorted(doc_filter, d, side="left")
                 ) > 0
+                d, s = d[keep], s[keep]
+            if excl is not None and len(d):
+                # tombstone exclusion: deleted docs never enter the
+                # accumulator (bounds stay admissible — dropping docs
+                # only lowers true scores below the stored maxima)
+                keep = (
+                    np.searchsorted(excl, d, side="right")
+                    - np.searchsorted(excl, d, side="left")
+                ) == 0
                 d, s = d[keep], s[keep]
             if len(d):
                 ds.append(d)
@@ -262,6 +274,13 @@ class Searcher:
         return (
             int(meta.get("n_docs", 0)),
             tuple(g["id"] for g in meta.get("generations", [])),
+            # deletes change results without changing the segment set —
+            # the cached term_stats (df sums) must reload; per-root keys
+            # count too (compaction shrinks a tombstone in place)
+            tuple(
+                (t["id"], tuple(sorted(t.get("per_root", {}))))
+                for t in meta.get("tombstones", [])
+            ),
         )
 
     def _load(self) -> None:
@@ -475,17 +494,25 @@ def wand_search(
             queries, code_aware, query_chunk_size, stats_out, qlang
         )
     dl_roots = doc_stats_roots(index_dir, meta)
+    tomb_dirs = tombstone_bucket_dirs(index_dir, meta)
     local = None
-    for wi, wave in enumerate(waves):
-        part = _wave_local_topk(
-            spark, base, tstats, wave, dl_roots,
-            n_docs, avgdl, k1, b, k, n_shards,
-        )
-        local = part if local is None else local.unionByName(part)
-        if (wi + 1) % CHECKPOINT_WAVES == 0:
-            # truncate the growing union lineage; rows are shards×k per
-            # query — tiny relative to the work that produced them
-            local = local.localCheckpoint(eager=True)
+    # closing(): if _wave_local_topk (or anything in this loop) raises
+    # mid-iteration, the _wave_qmaps generator's finally block must run
+    # NOW — otherwise its MEMORY_AND_DISK pair frame lingers until GC,
+    # leaking executor memory across subsequent queries in the session
+    import contextlib
+
+    with contextlib.closing(waves):
+        for wi, wave in enumerate(waves):
+            part = _wave_local_topk(
+                spark, base, tstats, wave, dl_roots,
+                n_docs, avgdl, k1, b, k, n_shards, tomb_dirs,
+            )
+            local = part if local is None else local.unionByName(part)
+            if (wi + 1) % CHECKPOINT_WAVES == 0:
+                # truncate the growing union lineage; rows are shards×k
+                # per query — tiny relative to the work that produced them
+                local = local.localCheckpoint(eager=True)
     if local is None:
         return empty
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("docID"))
@@ -508,8 +535,14 @@ def _wave_local_topk(
     b: float,
     k: int,
     n_shards: int,
+    tomb_dirs: list[str] | None = None,
 ) -> DataFrame:
-    """Per-shard local top-k rows for one wave of queries (pre-merge)."""
+    """Per-shard local top-k rows for one wave of queries (pre-merge).
+
+    ``tomb_dirs``: live tombstone per-root docs dirs — the kernel loads
+    each bucket's deleted-docID set once (bucket-local read, cached per
+    task like doc_stats) and excludes those docs from every query's
+    accumulator, so results match a rebuild without the victims."""
     all_terms = sorted({t for ts in qmap.values() for t in ts})
     if not all_terms:
         return spark.createDataFrame([], "query_id long, docID long, score double")
@@ -583,6 +616,7 @@ def _wave_local_topk(
                 by_shard.setdefault((int(bks[i]), int(subs[i])), []).append(row)
 
         dl_cache: dict[int, tuple | None] = {}
+        excl_cache: dict[int, np.ndarray | None] = {}
 
         def dl_lookup(bucket: int):
             if bucket not in dl_cache:
@@ -593,6 +627,13 @@ def _wave_local_topk(
                     o = np.argsort(ds["docID"], kind="stable")
                     dl_cache[bucket] = (ds["docID"][o], ds["dl"][o].astype(np.float64))
             return dl_cache[bucket]
+
+        def excl_lookup(bucket: int):
+            if not tomb_dirs:
+                return None
+            if bucket not in excl_cache:
+                excl_cache[bucket] = read_tombstone_bucket(tomb_dirs, bucket)
+            return excl_cache[bucket]
 
         out: list[tuple[int, int, float]] = []
         for (bucket, _sub), rows in by_shard.items():
@@ -605,7 +646,10 @@ def _wave_local_topk(
                 return lookup_dl(ds_docs, ds_dl, docs, strict)
 
             out.extend(
-                _score_shard(rows, qmap_bc, n_docs, avgdl, k1, b, k, dl_of)
+                _score_shard(
+                    rows, qmap_bc, n_docs, avgdl, k1, b, k, dl_of,
+                    excl=excl_lookup(bucket),
+                )
             )
         yield pd.DataFrame(out, columns=["query_id", "docID", "score"]).astype(
             {"query_id": "int64", "docID": "int64", "score": "float64"}

@@ -208,6 +208,137 @@ def test_mismatched_builder_geometry_refused(spark, tmp_path):
     assert right.refresh_delta(fanin=2) == "gen0001"
 
 
+def test_writer_lease_second_writer_refused(spark, tmp_path):
+    """Two builders on one index dir: the second mutating op is refused
+    while the first holds the lease; a crashed writer's stale lease is
+    taken over after TTL; a fenced-out writer fails before committing."""
+    import json as _json
+    import time as _time
+
+    from docinsight_spark.index.builder import WriterLeaseHeld
+
+    d = str(tmp_path / "leased")
+    b1 = IndexBuilder(spark, d, n_buckets=4)
+    b2 = IndexBuilder(spark, d, n_buckets=4)
+    corpus = make_corpus(spark, 60, seed=81, partitions=2)
+
+    with b1._lease():  # b1 mid-op
+        with pytest.raises(WriterLeaseHeld, match="live writer lease"):
+            b2.add_run(corpus, "r0")
+        # fence: b1's lease stolen out from under it → commit refused
+        lock = _json.load(open(f"{d}/_writer.lock"))
+        lock["owner"] = "thief"
+        with open(f"{d}/_writer.lock", "w") as fh:
+            _json.dump(lock, fh)
+        with pytest.raises(WriterLeaseHeld, match="taken over"):
+            b1._commit("run-r0", run_id="r0")
+    os.remove(f"{d}/_writer.lock")  # thief's lock; clear for next phase
+
+    # crashed writer: stale lease (ts far in the past) is taken over
+    with open(f"{d}/_writer.lock", "w") as fh:
+        _json.dump({"owner": "dead", "ts": _time.time() - 999.0,
+                    "ttl": 1.0, "pid": 0}, fh)
+    b2.add_run(corpus, "r0")  # takeover succeeds
+    assert b2._done("run-r0")
+    assert not os.path.exists(f"{d}/_writer.lock")  # released at op end
+
+    # normal sequential ops keep working
+    b1.merge_all(fanin=2)
+    b1.finalize()
+    assert b1.meta()["n_docs"] == 60
+
+
+def test_manifest_ledger_flat_reads(spark, tmp_path, monkeypatch):
+    """Rollup ledger: after fold_ledger(), manifests() is ONE driver
+    JSON read no matter how many units accumulated (the continuous-mode
+    O(runs²) ledger cost is gone), lineage is preserved exactly, and a
+    post-fold loose commit overrides its ledger copy."""
+    from docinsight_spark.index import builder as B
+
+    d = str(tmp_path / "ledger")
+    b = IndexBuilder(spark, d, n_buckets=4)
+    for i in range(120):  # simulated micro-batch run manifests
+        b._commit(f"run-r{i:04d}", run_id=f"r{i:04d}", postings=7, docs=3,
+                  langs={}, settings=b._settings())
+    pre = {m["unit"]: m["ts"] for m in b.manifests()}
+    assert b.fold_ledger() == 120
+    loose = [f for f in os.listdir(f"{d}/manifests")
+             if f.endswith(".json") and f != "_ledger.json"]
+    assert loose == []
+    post = {m["unit"]: m["ts"] for m in b.manifests()}
+    assert post == pre  # nothing lost, timestamps intact
+    assert b.fold_ledger() == 0  # idempotent
+
+    calls = {"n": 0}
+    orig = B.fsio.read_json
+
+    def counting(path):
+        calls["n"] += 1
+        return orig(path)
+
+    monkeypatch.setattr(B.fsio, "read_json", counting)
+    b.manifests()
+    assert calls["n"] == 1  # the ledger file only
+    monkeypatch.undo()
+
+    # a unit re-committed after folding: the loose file wins
+    b._commit("run-r0000", run_id="r0000", postings=99, docs=3, langs={},
+              settings=b._settings())
+    m = {x["unit"]: x for x in b.manifests()}
+    assert m["run-r0000"]["postings"] == 99
+    assert b._manifest("run-r0000")["postings"] == 99
+    assert len(m) == 120
+
+
+def test_ledger_survives_build_refresh_cycle(spark, tmp_path):
+    """End-to-end: build → ingest → refresh with ledger folds at every
+    finalize/refresh; coverage, resume short-circuits and queries keep
+    working off the rolled-up lineage."""
+    d = str(tmp_path / "ledgercycle")
+    b = IndexBuilder(spark, d, n_buckets=4)
+    b.build(make_corpus(spark, 120, seed=71, partitions=2))
+    # finalize folded everything: only the ledger remains
+    loose = [f for f in os.listdir(f"{d}/manifests")
+             if f.endswith(".json") and f != "_ledger.json"]
+    assert loose == []
+    b.add_run(make_corpus(spark, 60, seed=72, partitions=2), "d1")
+    gid = b.refresh_delta(fanin=2)
+    assert gid == "gen0001"
+    assert b.refresh_delta(fanin=2) is None  # covered via ledger lineage
+    q = make_queries(spark, corpus_n=120, n_queries=4)
+    assert wand_search(spark, d, q, k=5).count() > 0
+    # a fresh builder resumes entirely off the ledger
+    b2 = IndexBuilder(spark, d, n_buckets=4)
+    assert b2._done("finalize") and b2._done("merged-final")
+    assert b2.refresh_delta(fanin=2) is None
+
+
+def test_pre_meta_run_settings_refused(spark, tmp_path):
+    """Before the first finalize there is no _meta.json to validate
+    against — run manifests record the builder settings, and a second
+    `ingest --no-refresh`-style run with different geometry/tokenizer
+    must be refused (it would merge mixed sharding into one index)."""
+    d = str(tmp_path / "premeta")
+    b = IndexBuilder(spark, d, n_buckets=4)
+    b.add_run(make_corpus(spark, 60, seed=61, partitions=2), "r0")
+    assert not os.path.exists(f"{d}/_meta.json")
+    with pytest.raises(ValueError, match="do not match run"):
+        IndexBuilder(spark, d, n_buckets=8).add_run(
+            make_corpus(spark, 40, seed=62, partitions=2), "r1"
+        )
+    with pytest.raises(ValueError, match="do not match run"):
+        IndexBuilder(spark, d, n_buckets=4, code_aware=False).add_run(
+            make_corpus(spark, 40, seed=62, partitions=2), "r1"
+        )
+    # identical settings proceed, and the index finalizes cleanly
+    IndexBuilder(spark, d, n_buckets=4).add_run(
+        make_corpus(spark, 40, seed=62, partitions=2), "r1"
+    )
+    b.merge_all(fanin=2)
+    b.finalize()
+    assert b.meta()["n_buckets"] == 4
+
+
 def test_purge_run_clears_generations(spark, tmp_path):
     """Purging any run invalidates downstream generations and meta; the
     rebuild path (merge_all + finalize) starts clean."""
@@ -290,7 +421,13 @@ def test_refresh_crash_between_meta_and_manifest_converges(spark, tmp_path):
     gid = b.refresh_delta(fanin=2)
     n_docs = b.meta()["n_docs"]
     # simulate the crash window: generation manifest lost, meta committed
-    fsio.remove(f"{d}/manifests/generation-{gid}.json")
+    # (the manifest may be loose OR already rolled into the ledger —
+    # strip it from wherever it is)
+    from docinsight_spark.index.builder import _ledger_strip
+
+    if fsio.exists(f"{d}/manifests/generation-{gid}.json"):
+        fsio.remove(f"{d}/manifests/generation-{gid}.json")
+    _ledger_strip(d, lambda u: u == f"generation-{gid}")
     assert b.refresh_delta(fanin=2) is None  # runs covered via meta
     assert b.meta()["n_docs"] == n_docs      # no double count
     b.merge_all(fanin=2)                     # coverage guard satisfied

@@ -260,11 +260,11 @@ def test_stale_merge_guard_missing_runs_key(spark, tmp_path, tiny_corpus):
     d = str(tmp_path / "staleidx")
     b = IndexBuilder(spark, d, n_buckets=4)
     b.build(tiny_corpus.limit(50), n_runs=1, fanin=2)
-    mpath = f"{d}/manifests/merged-final.json"
-    with open(mpath) as fh:
-        m = _json.load(fh)
+    # the manifest may live in the rolled-up ledger by now; a loose
+    # per-unit file overrides it, so write the corrupted copy loose
+    m = b._manifest("merged-final")
     del m["runs"]
-    with open(mpath, "w") as fh:
+    with open(f"{d}/manifests/merged-final.json", "w") as fh:
         _json.dump(m, fh)
     with pytest.raises(ValueError, match="no run set"):
         b.merge_all()
