@@ -49,20 +49,30 @@ def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # SQL fragment shared by token-based oracles (DuckDB).
-_SQL_TOKS = """
+def _sql_toks(doc_where: str = "") -> str:
+    """toks CTE over ``documents``, optionally restricted (the
+    surviving-rows oracle for delete entries)."""
+    w = f" WHERE {doc_where}" if doc_where else ""
+    return f"""
 toks AS (
   SELECT doc_id, term FROM (
     SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
-    FROM documents
+    FROM documents{w}
   ) WHERE term <> ''
 )
 """
 
-_SQL_POSTINGS = _SQL_TOKS + """,
+
+def _sql_postings(doc_where: str = "") -> str:
+    return _sql_toks(doc_where) + """,
 postings AS (
   SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY term, doc_id
 )
 """
+
+
+_SQL_TOKS = _sql_toks()
+_SQL_POSTINGS = _sql_postings()
 
 # ---------------------------------------------------------------------------
 # Postings / statistics (SURVEY §2.6 A2, A16)
@@ -123,10 +133,14 @@ def _bm25_oracle_sql(
     query_terms: list[tuple[int, str]] = BM25_QUERY_TERMS,
     k: int = BM25_K,
     doc_id_alias: str = "doc_id",
+    doc_where: str = "",
 ) -> str:
+    """Full BM25 top-k SQL over ``documents``; ``doc_where`` restricts
+    the corpus (N/avgdl/df/dl all recomputed over the survivors — the
+    rebuild-without-victims oracle for the delete entry)."""
     vals = ", ".join(f"({q}, '{t}')" for q, t in query_terms)
     return f"""
-WITH {_SQL_POSTINGS},
+WITH {_sql_postings(doc_where)},
 dstats AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
 tstats AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY term),
 c AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dstats),
@@ -1307,6 +1321,73 @@ def wand_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = b.docs_dim().select(
         "docID", F.expr("CAST(substr(path, 5) AS LONG)").alias("doc_id")
     )
+    scored = res.join(dim, "docID").select(
+        "query_id", "doc_id", F.round("score", 4).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= WAND_K)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+# O(delta) doc-level DELETE under the oracle gate (round 5): build over
+# the FULL table, tombstone-delete every doc_id divisible by 3
+# (IndexBuilder.delete_docs — no segment rewrite, no rebuild: per-root
+# docID tombstones + df corrections + exact N/avgdl fix in _meta.json),
+# then query the fast path.  The oracle recomputes BM25 from scratch
+# over ONLY the surviving rows — stats, idf and ranks must match a
+# rebuild-without-victims exactly.  Reference analog: cascade
+# purge_source, /root/reference/db/db_manager.py:145-165.
+
+_WANDDEL_QUERIES: list[tuple[int, str]] = [
+    (0, "index scan merge"),
+    (1, "group filter join"),
+    (2, "stream batch sort"),
+]
+_WANDDEL_TERMS: list[tuple[int, str]] = [
+    (q, t) for q, text in _WANDDEL_QUERIES for t in text.split()
+]
+
+
+@_register(
+    "wand_topk_deleted",
+    _bm25_oracle_sql(
+        _WANDDEL_TERMS, WAND_K, doc_id_alias="doc_id",
+        doc_where="doc_id % 3 <> 0",
+    ),
+)
+def wand_topk_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone-delete end-to-end: the multi-root WAND path over a
+    tombstoned index must reproduce the exact BM25 SQL oracle computed
+    over the surviving documents only (docID exclusion in the kernel +
+    corrected N/avgdl + lazily-summed df negatives, hash-checked)."""
+    import tempfile
+
+    from docinsight_spark.index.builder import IndexBuilder
+    from docinsight_spark.index.wand import wand_search
+
+    docs = _docs(spark, sf_dir).select(
+        F.lit("sf/docs").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id")).alias("path"),
+        F.lit("0000").alias("commit"),
+        F.lit("en").alias("lang"),
+        F.col("text").alias("content"),
+    )
+    idx = tempfile.mkdtemp(prefix="contract_wanddel_")
+    b = IndexBuilder(spark, idx, n_buckets=8, code_aware=False)
+    b.build(docs)
+    dim = b.docs_dim().select(
+        "docID", F.expr("CAST(substr(path, 5) AS LONG)").alias("doc_id")
+    )
+    assert b.delete_docs(
+        dim.filter(F.col("doc_id") % 3 == 0).select("docID")
+    ) is not None
+    queries = spark.createDataFrame(
+        _WANDDEL_QUERIES, "query_id long, query_text string"
+    )
+    res = wand_search(spark, idx, queries, k=_WAND_OVERFETCH)
     scored = res.join(dim, "docID").select(
         "query_id", "doc_id", F.round("score", 4).alias("score")
     )

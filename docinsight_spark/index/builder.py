@@ -1319,28 +1319,36 @@ class IndexBuilder:
                 "left_anti",
             )
         troot = f"{self.dir}/tombstones/{did}"
-        (
-            vic.repartition("root")
-            .sortWithinPartitions("doc_bucket", "docID")
-            .write.mode("overwrite")
-            .partitionBy("root", "doc_bucket")
-            .parquet(f"{troot}/docs")
-        )
-        per_root_rows = (
-            self.spark.read.parquet(f"{troot}/docs")
-            .groupBy("root")
-            .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s"))
-            .collect()
-        )
-        per_root = {
-            r["root"]: {"n_docs": int(r["n"]), "sum_dl": int(r["s"] or 0)}
-            for r in per_root_rows
-        }
-        n_vic = sum(v["n_docs"] for v in per_root.values())
-        if n_vic == 0:
-            fsio.rmtree(troot)
-            return None
-        sum_vic = sum(v["sum_dl"] for v in per_root.values())
+        from pyspark import StorageLevel
+
+        # persist: the per-root aggregation AND the physical write read
+        # the same joined frame — without it the doc_stats scan + joins
+        # run twice.  Aggregate FIRST: an all-dup victim set must no-op
+        # (an empty partitioned write leaves an unreadable dataset).
+        vic = vic.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            per_root_rows = (
+                vic.groupBy("root")
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s"))
+                .collect()
+            )
+            per_root = {
+                r["root"]: {"n_docs": int(r["n"]), "sum_dl": int(r["s"] or 0)}
+                for r in per_root_rows
+            }
+            n_vic = sum(v["n_docs"] for v in per_root.values())
+            if n_vic == 0:
+                return None
+            sum_vic = sum(v["sum_dl"] for v in per_root.values())
+            (
+                vic.repartition("root")
+                .sortWithinPartitions("doc_bucket", "docID")
+                .write.mode("overwrite")
+                .partitionBy("root", "doc_bucket")
+                .parquet(f"{troot}/docs")
+            )
+        finally:
+            vic.unpersist()
 
         # per-(root, term) df corrections from one pass over the merged
         # postings; the victim side broadcasts when small (the common
@@ -1530,10 +1538,21 @@ class IndexBuilder:
         *admissible* via the (tf_max, dl_min) fallback, but increasingly
         loose → wasted block decodes).  Victims: every drifted
         generation plus the smallest generations (by Σdl) until at most
-        ``max_generations // 2`` survive; their runs re-merge into ONE
-        new generation encoded at the current avgdl.  The base segment
-        set only rewrites on an explicit full rebuild.  Returns the new
-        generation id or ``None`` when nothing triggered."""
+        ``max_generations // 2`` survive.
+
+        The fold reads the victims' ``merged_source`` outputs — few,
+        large, already shard-sorted inputs — NOT the original run dirs:
+        a generation covering many streaming micro-batch runs folds in
+        one balanced pass, and covered runs' postings become dead
+        storage reclaimable by :meth:`gc_runs` (L0 GC).  Tombstoned
+        docs whose home root is a victim are dropped from the merge —
+        compaction is the PHYSICAL reclaim of doc-level deletes: the
+        new generation's postings/stats/segments exclude them, and the
+        tombstone entries shrink (or disappear) in the same atomic
+        ``_meta.json`` commit, so df corrections never double-apply.
+        The base segment set only rewrites on an explicit full rebuild.
+        Returns the new generation id or ``None`` when nothing
+        triggered."""
         self._check_meta_compat()
         meta = self.meta()
         gens = meta.get("generations", [])
@@ -1561,12 +1580,41 @@ class IndexBuilder:
         vruns = sorted(
             r for g in gens if g["id"] in victims for r in g["runs"]
         )
+        vsrcs = sorted(
+            g["merged_source"] for g in gens if g["id"] in victims
+        )
         gid = self._next_gen_id()
         groot = f"{self.dir}/generations/{gid}"
-        src, _ = self._merge_waves(
-            [f"{self.dir}/runs/{r}" for r in vruns],
-            f"{groot}/merged", f"genmerge-{gid}", fanin,
-        )
+        src = f"{groot}/merged/fold"
+        unit = f"genmerge-{gid}-fold"
+        prior = self._manifest(unit) or {}
+        if prior.get("status") != "complete" or prior.get("covers") != vsrcs:
+            postings_in = self._read_union([f"{s}/postings" for s in vsrcs])
+            tomb = self._tombstone_docs_for_roots(victims)
+            if tomb is not None:
+                # physical delete reclaim: victims' tombstoned docs do
+                # not enter the new generation (tombstone sets are small
+                # relative to the corpus — broadcast anti-join)
+                postings_in = postings_in.join(
+                    F.broadcast(tomb), "docID", "left_anti"
+                )
+            (
+                postings_in.repartitionByRange(
+                    self.n_shards, "doc_bucket", "doc_sub"
+                )
+                .sortWithinPartitions("doc_bucket", "doc_sub", "term", "docID")
+                .write.mode("overwrite")
+                .option("compression", "snappy")
+                .partitionBy("doc_bucket")
+                .parquet(f"{src}/postings")
+            )
+            n_fold, per_bucket = _footer_rows(
+                f"{src}/postings", "doc_bucket", spark=self.spark
+            )
+            self._commit(
+                unit, inputs=vsrcs, covers=vsrcs, postings_merged=n_fold,
+                postings_per_bucket=per_bucket,
+            )
         postings = self.spark.read.parquet(f"{src}/postings")
         n_new, _avg, sum_new = self._write_doc_term_stats(postings, groot)
         lineage = self._encode_segments(
@@ -1583,8 +1631,39 @@ class IndexBuilder:
                 "merged_source": src,
             }
         )
-        # same docs, same global stats — only the generation list changes
-        meta.update(generations=survivors)
+        # Shrink tombstones in the SAME meta commit as the generation
+        # swap: the new generation's stats already exclude the reclaimed
+        # docs, so their df/N corrections must stop applying atomically
+        # (a reader seeing one without the other would double-subtract).
+        new_tombs, tomb_cleanup = [], []
+        for t in meta.get("tombstones", []):
+            kept = {
+                rid: v for rid, v in t.get("per_root", {}).items()
+                if rid not in victims
+            }
+            tomb_cleanup += [
+                f"{self.dir}/tombstones/{t['id']}/docs/root={rid}"
+                for rid in t.get("per_root", {})
+                if rid in victims
+            ] + [
+                f"{self.dir}/tombstones/{t['id']}/term_stats_neg/root={rid}"
+                for rid in t.get("per_root", {})
+                if rid in victims
+            ]
+            if kept:
+                new_tombs.append(
+                    {
+                        "id": t["id"],
+                        "per_root": kept,
+                        "n_docs": sum(v["n_docs"] for v in kept.values()),
+                        "sum_dl": sum(v["sum_dl"] for v in kept.values()),
+                    }
+                )
+            else:
+                tomb_cleanup.append(f"{self.dir}/tombstones/{t['id']}")
+        # same docs, same global stats — generation list and tombstone
+        # coverage change together
+        meta.update(generations=survivors, tombstones=new_tombs)
         _atomic_write_json(f"{self.dir}/_meta.json", meta)
         self._commit(
             f"generation-{gid}",
@@ -1607,6 +1686,8 @@ class IndexBuilder:
         if delete_victims:
             for vid in victims:
                 self._reclaim_generation(vid)
+            for p in tomb_cleanup:
+                fsio.rmtree(p)
         else:
             for vid in victims:
                 _atomic_write_json(
@@ -1614,8 +1695,62 @@ class IndexBuilder:
                     {"unit": f"gc-{vid}", "status": "complete",
                      "gen_id": vid, "ts": time.time()},
                 )
+            if tomb_cleanup:
+                # reclaimed tombstone partitions get the same deferred
+                # treatment as victim generations: a reader on the OLD
+                # meta still applies them mid-scan
+                _atomic_write_json(
+                    self._mpath(f"gc-{gid}-tombs"),
+                    {"unit": f"gc-{gid}-tombs", "status": "complete",
+                     "paths": tomb_cleanup, "ts": time.time()},
+                )
         self.fold_ledger()
         return gid
+
+    def _tombstone_docs_for_roots(self, roots: set[str]) -> DataFrame | None:
+        """docIDs of every live tombstoned doc whose physical home is in
+        ``roots`` (the compaction victims) — the set physical reclaim
+        drops from the fold."""
+        frames = []
+        for t in self.meta().get("tombstones", []):
+            hit = [r for r in t.get("per_root", {}) if r in roots]
+            if not hit:
+                continue
+            frames.append(
+                self.spark.read.parquet(
+                    f"{self.dir}/tombstones/{t['id']}/docs"
+                )
+                .filter(F.col("root").isin(hit))
+                .select("docID")
+            )
+        return _union_frames(frames) if frames else None
+
+    @_leased
+    def gc_runs(self) -> list[str]:
+        """Reclaim covered runs' POSTINGS (the heavy L0 artifact).
+
+        A run's postings are read exactly once — by the merge wave that
+        folds it into the base or a generation; compaction reads the
+        victims' ``merged_source`` outputs, never raw runs.  Once a run
+        is covered by committed lineage its postings are dead weight
+        (L0 storage amplification under continuous ingest).  The runs'
+        ``docs`` tables are KEPT — the cross-run dedup gate and
+        :meth:`docs_dim` read them forever.  After this, a from-runs
+        full rebuild (``purge_run`` → ``merge_all``) requires
+        re-ingesting the affected slices; the incremental paths
+        (refresh / compact / delete) are unaffected.  Returns the run
+        ids whose postings were reclaimed."""
+        covered = self._covered_runs()
+        removed = []
+        for m in self.manifests():
+            if not m["unit"].startswith("run-"):
+                continue
+            rid = m["run_id"]
+            p = f"{self.dir}/runs/{rid}/postings"
+            if rid in covered and fsio.exists(p):
+                fsio.rmtree(p)
+                removed.append(rid)
+        return sorted(removed)
 
     def _reclaim_generation(self, vid: str) -> None:
         fsio.rmtree(f"{self.dir}/generations/{vid}")
@@ -1655,10 +1790,15 @@ class IndexBuilder:
             m = fsio.read_json(f"{self.dir}/manifests/{fn}")
             if now - float(m.get("ts", 0)) < grace_sec:
                 continue
-            vid = m["gen_id"]
-            self._reclaim_generation(vid)
+            if "gen_id" in m:
+                vid = m["gen_id"]
+                self._reclaim_generation(vid)
+                removed.append(vid)
+            # physically-reclaimed tombstone partitions (compact wrote
+            # the paths; they stopped applying at the meta commit)
+            for p in m.get("paths", []):
+                fsio.rmtree(p)
             fsio.remove(f"{self.dir}/manifests/{fn}")
-            removed.append(vid)
         return removed
 
 

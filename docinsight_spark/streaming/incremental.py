@@ -65,6 +65,11 @@ def stream_ingest(
                 max_generations=compact_max_generations, delete_victims=False
             )
             builder.gc_generations(grace_sec=gc_grace_sec)
+            # L0 GC: covered runs' postings are dead once folded (merges
+            # read them exactly once; compaction reads merged_source) —
+            # without this, continuous mode retains every micro-batch's
+            # postings forever (storage amplification)
+            builder.gc_runs()
 
     writer = src.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir
