@@ -14,11 +14,17 @@ Runs the engine's flagship workloads at ``$SPARK_GRAFT_SF_DIR``
                       the base-index stages; excluded from the headline
                       total so round totals stay comparable — read
                       ``extras.refresh_vs_build``)
+* ``delete_docs``   — O(tombstone) doc-level delete of a ~2% slice
+                      (excluded from the total; read
+                      ``extras.delete_vs_build``)
 * ``bm25_oracle``   — exact DataFrame BM25 top-10 on the sf documents
 * ``minhash_dedup`` — MinHash+LSH near-dup sweep on sf documents
 * ``cosine_topk``   — brute-force embedding ANN baseline
 * ``originality``   — scoring pipeline (normalize→fuse→gate→decay→
                       spans→roll-up) over sf events
+* ``neardup_probe`` — incremental near-dup gate: delta probes the
+                      persisted signature store (excluded from the
+                      total; read ``extras.neardup_probe_vs_batch``)
 
 Scaling evidence (local[8] vs local[32]) is produced separately by
 ``scripts/scaling_bench.py`` and recorded in ``BENCH/BASELINE.md``.
@@ -254,6 +260,33 @@ def main() -> None:
             timings["refresh_delta"] / timings["index_build"], 3
         )
 
+        # -- O(tombstone) doc deletes: drop a ~2% slice from the built
+        #    index (no rebuild; kernel-side exclusion + df corrections).
+        #    Excluded from the headline total (new stage in round 5);
+        #    the metric is delete_vs_build — delete cost must track the
+        #    victim set, not the corpus.
+        del_attempt = {"i": 0}
+
+        def _delete():
+            # distinct victim slice per retry attempt: re-deleting an
+            # already-tombstoned set no-ops and would measure nothing
+            del_attempt["i"] += 1
+            b = IndexBuilder(spark, idx_dir, n_buckets=32)
+            victims = b.docs_dim().filter(
+                F.pmod(F.xxhash64("docID"), F.lit(50))
+                == (del_attempt["i"] - 1) % 50
+            ).select("docID")
+            return b.delete_docs(victims)
+
+        bench("delete_docs", _delete, repeats=1)
+        bmeta = IndexBuilder(spark, idx_dir, n_buckets=32).meta()
+        extras["delete_n_docs"] = sum(
+            t["n_docs"] for t in bmeta.get("tombstones", [])
+        )
+        extras["delete_vs_build"] = round(
+            timings["delete_docs"] / timings["index_build"], 3
+        )
+
         # -- contract headline queries at SF_DIR ---------------------------
         from docinsight_spark.contract import QUERIES
 
@@ -265,9 +298,46 @@ def main() -> None:
         }
         for label, qname in heads.items():
             bench(label, lambda q=qname: QUERIES[q](spark, SF_DIR).count())
+
+        # -- incremental near-dup gate: a 5% delta probes a store of the
+        #    other 95% of the sf documents (the continuous-ingest
+        #    shape: delta << corpus).  The recurring per-batch cost is
+        #    the PROBE (delta-only shingling + band equi-join against
+        #    persisted signatures); compare against minhash_dedup, the
+        #    full batch recompute.  Excluded from the headline total
+        #    (round 5).
+        from docinsight_spark.index.neardup import NearDupStore
+
+        nd_root = tempfile.mkdtemp(prefix="bench_nd_", dir=scratch)
+        sf_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+        def _nd_store():
+            shutil.rmtree(nd_root, ignore_errors=True)
+            s = NearDupStore(spark, nd_root, n=2, n_hashes=8, bands=4)
+            s.add(
+                sf_docs.filter(F.col("doc_id") % 20 != 0), "base",
+                id_col="doc_id", text_col="text",
+            )
+            return s
+
+        nds = bench("neardup_store_build", _nd_store, repeats=1)
+
+        def _nd_probe():
+            return nds.probe(
+                sf_docs.filter(F.col("doc_id") % 20 == 0),
+                id_col="doc_id", text_col="text", threshold=0.5,
+            ).count()
+
+        extras["neardup_probe_pairs"] = bench("neardup_probe", _nd_probe)
+        extras["neardup_probe_vs_batch"] = round(
+            timings["neardup_probe"] / timings["minhash_dedup"], 3
+        )
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
         shutil.rmtree(corpus_dir, ignore_errors=True)
+        for p in os.listdir(scratch):
+            if p.startswith("bench_nd_"):
+                shutil.rmtree(os.path.join(scratch, p), ignore_errors=True)
         spark.stop()
 
     extras["loadavg_end"] = _loadavg()
@@ -275,7 +345,11 @@ def main() -> None:
     extras["stage_loadavg"] = stage_load
     extras["stage_steal_pct"] = stage_steal
     total = round(
-        sum(v for k, v in timings.items() if k not in ("datagen", "refresh_delta")),
+        sum(
+            v for k, v in timings.items()
+            if k not in ("datagen", "refresh_delta", "delete_docs",
+                         "neardup_store_build", "neardup_probe")
+        ),
         3,
     )
     out = {

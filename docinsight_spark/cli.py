@@ -5,7 +5,8 @@ Ship with::
     spark-submit --py-files docinsight_spark.zip -m docinsight_spark.cli build \
         --corpus <parquet-or-iceberg:tbl> --index /path/idx --runs 4
     ... ingest  --corpus delta.parquet --index /path/idx --run-id d1   # O(delta)
-    ... compact --index /path/idx [--force]
+    ... delete  --index /path/idx --where "repo = 'org/retired'"       # no rebuild
+    ... compact --index /path/idx [--force] [--gc-grace 3600]
     ... query   --index /path/idx --queries q.parquet --k 10 --out res.parquet
     ... report  --index /path/idx --queries docs.parquet --out report.json
 
@@ -110,6 +111,29 @@ def cmd_compact(args) -> int:
         "generation": gid,
         "generations": [g["id"] for g in meta.get("generations", [])],
         "reclaimed": reclaimed,
+    }))
+    return 0
+
+
+def cmd_delete(args) -> int:
+    """Tombstone-delete docs matching a SQL predicate over the docs
+    dimension (repo, path, commit, lang, content_sha) — the reference's
+    per-source purge (``db_manager.py:145-165``) WITHOUT a rebuild:
+    queries immediately exclude the victims; compaction reclaims the
+    postings physically later."""
+    from docinsight_spark.index.builder import IndexBuilder
+
+    spark = _spark("docinsight_delete")
+    b = IndexBuilder.for_index(spark, args.index)
+    did = b.delete_matching(args.where)
+    meta = b.meta()
+    print(json.dumps({
+        "status": "deleted" if did else "noop",
+        "delete_id": did,
+        "n_docs": meta["n_docs"],
+        "tombstoned": sum(
+            t["n_docs"] for t in meta.get("tombstones", [])
+        ),
     }))
     return 0
 
@@ -223,6 +247,18 @@ def main(argv: list[str] | None = None) -> int:
              "(pick SEC above the worst-case query scan time)",
     )
     c.set_defaults(fn=cmd_compact)
+
+    d = sub.add_parser(
+        "delete",
+        help="tombstone-delete docs matching a predicate (no rebuild)",
+    )
+    d.add_argument("--index", required=True)
+    d.add_argument(
+        "--where", required=True,
+        help="SQL condition over (repo, path, commit, lang, content_sha), "
+             "e.g. \"repo = 'org/retired'\" or \"path LIKE 'vendor/%%'\"",
+    )
+    d.set_defaults(fn=cmd_delete)
 
     q = sub.add_parser("query", help="BM25 top-k search")
     q.add_argument("--index", required=True)

@@ -651,6 +651,85 @@ WHERE i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter)::DOUBLE >= 0.5
 """
 
 
+def _neardup_delta_sql() -> str:
+    """Oracle for the INCREMENTAL near-dup gate: even doc_ids are the
+    persisted store, odd doc_ids the arriving delta; the gate's
+    semantics cap band buckets on the STORE side only and verify exact
+    Jaccard for (delta, store) candidates."""
+    hcols = ", ".join(
+        f"min(md5('mh{i}:' || shingle)) AS h{i}" for i in range(_MH_N_HASHES)
+    )
+    rows = _MH_N_HASHES // _MH_BANDS
+    bands = []
+    for b in range(_MH_BANDS):
+        cols = " || '|' || ".join(f"h{b * rows + r}" for r in range(rows))
+        bands.append(
+            f"SELECT id, {b} AS band_id, md5({cols}) AS bkey FROM sigs"
+        )
+    banded = " UNION ALL ".join(bands)
+    return f"""WITH {_SQL_SHINGLES},
+sigs AS (SELECT id, {hcols} FROM sh GROUP BY id),
+banded AS ({banded}),
+base_b AS (
+  SELECT * FROM (
+    SELECT *, count(*) OVER (PARTITION BY band_id, bkey) AS bn
+    FROM banded WHERE id % 2 = 0
+  ) WHERE bn <= 50
+),
+delta_b AS (SELECT * FROM banded WHERE id % 2 = 1),
+cand AS (
+  SELECT DISTINCT d.id AS new_id, b.id AS base_id
+  FROM delta_b d JOIN base_b b USING (band_id, bkey)
+),
+inter AS (
+  SELECT d.id AS new_id, b.id AS base_id, count(*)::BIGINT AS n_inter
+  FROM sh d JOIN sh b USING (shingle)
+  WHERE d.id % 2 = 1 AND b.id % 2 = 0
+  GROUP BY 1, 2
+),
+sizes AS (SELECT id, count(*)::BIGINT AS n_sh FROM sh GROUP BY id)
+SELECT c.new_id, c.base_id,
+       round(i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter)::DOUBLE, 4) AS jaccard
+FROM cand c
+JOIN inter i ON i.new_id = c.new_id AND i.base_id = c.base_id
+JOIN sizes sa ON sa.id = c.new_id
+JOIN sizes sb ON sb.id = c.base_id
+WHERE i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter)::DOUBLE >= 0.5
+"""
+
+
+@_register("neardup_delta_gate", _neardup_delta_sql())
+def neardup_delta_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup gate (round 5): even doc_ids registered in a
+    persisted NearDupStore, odd doc_ids probe it — delta-only shingling,
+    band-key equi-join against stored signatures, exact Jaccard verify
+    on candidates.  Hash-matches a full DuckDB recompute restricted to
+    (delta, store) pairs.  Reference analog: the content-hash ingest
+    gate (``/root/reference/pipeline_ingest.py:265-269``) generalized
+    to near-duplicates."""
+    import tempfile
+
+    from docinsight_spark.index.neardup import NearDupStore
+
+    docs = _docs(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="contract_ndstore_")
+    s = NearDupStore(
+        spark, root, n=2, n_hashes=_MH_N_HASHES, bands=_MH_BANDS,
+        max_bucket=50,
+    )
+    s.add(
+        docs.filter(F.col("doc_id") % 2 == 0), "base",
+        id_col="doc_id", text_col="text",
+    )
+    got = s.probe(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        id_col="doc_id", text_col="text", threshold=0.5,
+    )
+    return got.select(
+        "new_id", "base_id", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
 @_register("minhash_lsh_neardup", _minhash_sql())
 def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate detection (shingle → minhash → band →
@@ -775,11 +854,13 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Generated from the SAME marker table the Spark operators use — the
+# oracle can never drift from the implementation when languages widen.
+from docinsight_spark.operators.textstats import LANG_MARKERS as _LANG_MARKERS
+
 _LANGS_SQL_MARKERS = {
-    "en": "('the','and','of','to','is','in','that','it','for','with')",
-    "de": "('der','die','das','und','ist','nicht','ein','mit','von','zu')",
-    "fr": "('le','la','les','et','est','une','pour','dans','que','des')",
-    "es": "('el','la','los','que','es','una','por','con','para','del')",
+    lg: "(" + ",".join(f"'{w}'" for w in ws) + ")"
+    for lg, ws in _LANG_MARKERS.items()
 }
 
 
@@ -788,7 +869,19 @@ def _language_id_sql() -> str:
         f"sum(CASE WHEN term IN {ws} THEN 1 ELSE 0 END) / greatest(count(*), 1)::DOUBLE AS r_{lg}"
         for lg, ws in _LANGS_SQL_MARKERS.items()
     )
-    # fold order matches the Spark implementation: en, then de/fr/es win on strict >
+    # iterated CASE fold replaying Spark's exactly: start at the FIRST
+    # language, each later language wins only on strictly greater ratio
+    langs = list(_LANGS_SQL_MARKERS)
+    lang_expr, conf_expr = f"'{langs[0]}'", f"r_{langs[0]}"
+    for lg in langs[1:]:
+        lang_expr = (
+            f"CASE WHEN r_{lg} > ({conf_expr}) THEN '{lg}' "
+            f"ELSE {lang_expr} END"
+        )
+        conf_expr = (
+            f"CASE WHEN r_{lg} > ({conf_expr}) THEN r_{lg} "
+            f"ELSE ({conf_expr}) END"
+        )
     return f"""WITH toks1k AS (
   SELECT doc_id, term FROM (
     SELECT doc_id, unnest(string_split_regex(lower(substr(text, 1, 1000)), '\\s+')) AS term
@@ -797,13 +890,8 @@ def _language_id_sql() -> str:
 ),
 r AS (SELECT doc_id, {ratios} FROM toks1k GROUP BY doc_id)
 SELECT doc_id,
-  CASE WHEN r_es > greatest(CASE WHEN r_fr > greatest(CASE WHEN r_de > r_en THEN r_de ELSE r_en END) THEN r_fr ELSE greatest(CASE WHEN r_de > r_en THEN r_de ELSE r_en END) END)
-       THEN 'es'
-       WHEN r_fr > greatest(CASE WHEN r_de > r_en THEN r_de ELSE r_en END) THEN 'fr'
-       WHEN r_de > r_en THEN 'de'
-       ELSE 'en' END AS lang_pred,
-  round(greatest(r_en, CASE WHEN r_de > r_en THEN r_de ELSE r_en END,
-                 greatest(r_en, r_de, r_fr, r_es)), 4) AS lang_conf
+  {lang_expr} AS lang_pred,
+  round({conf_expr}, 4) AS lang_conf
 FROM r"""
 
 
@@ -815,14 +903,20 @@ def language_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return language_id(_docs(spark, sf_dir)).select("doc_id", "lang_pred", "lang_conf")
 
 
+_QS_STOP_GREATEST = "greatest(" + ", ".join(
+    f"sum(CASE WHEN term IN {ws} THEN 1 ELSE 0 END)"
+    f" / greatest(count(*), 1)::DOUBLE"
+    for ws in _LANGS_SQL_MARKERS.values()
+) + ")"
+
+
 @_register(
     "quality_score",
     f"""WITH {_SQL_TOKS},
 t AS (
   SELECT doc_id, count(*)::BIGINT AS n,
          sum(length(term))::DOUBLE / greatest(count(*), 1) AS mean_wl,
-         sum(CASE WHEN term IN {_LANGS_SQL_MARKERS['en']} THEN 1 ELSE 0 END)
-             / greatest(count(*), 1)::DOUBLE AS stop_ratio,
+         {_QS_STOP_GREATEST} AS stop_ratio,
          count(DISTINCT term) / greatest(count(*), 1)::DOUBLE AS distinct_ratio
   FROM toks GROUP BY doc_id
 ),

@@ -668,7 +668,12 @@ class IndexBuilder:
 
     @_leased
     def add_run(
-        self, corpus: DataFrame, run_id: str, dedup_within_run: bool = True
+        self,
+        corpus: DataFrame,
+        run_id: str,
+        dedup_within_run: bool = True,
+        neardup_store=None,
+        neardup_threshold: float = 0.7,
     ) -> None:
         """Tokenize one corpus slice into a plain-parquet postings run.
 
@@ -677,7 +682,16 @@ class IndexBuilder:
         ``dedup_within_run=False`` skips the within-slice docID dedup
         shuffle (safe when the upstream feed is already unique — it
         shuffles full document content, the most expensive bytes in the
-        job).  The cross-run anti-join gate always applies."""
+        job).  The cross-run anti-join gate always applies.
+
+        ``neardup_store`` (a :class:`docinsight_spark.index.neardup.
+        NearDupStore`): the INCREMENTAL near-dup gate — new docs whose
+        shingle Jaccard vs an already-indexed doc is ≥
+        ``neardup_threshold`` are dropped, by probing the persisted
+        signature store (band-key equi-join) instead of re-shingling the
+        corpus; survivors register their signatures under this run's id.
+        The near-dup analog of the exact-sha cross-run gate (reference:
+        ``pipeline_ingest.py:265-269``)."""
         unit = f"run-{run_id}"
         if self._done(unit):
             return
@@ -693,6 +707,10 @@ class IndexBuilder:
             ).select("docID")
             seen_total = sum(int(m.get("docs", 0)) for m in priors)
             docs = self._gate_new_docs(docs, seen, seen_total)
+        if neardup_store is not None:
+            docs = neardup_store.gate(
+                docs, unit=run_id, threshold=neardup_threshold
+            )
 
         base = f"{self.dir}/runs/{run_id}"
         from pyspark.sql import Observation

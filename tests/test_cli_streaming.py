@@ -96,6 +96,23 @@ def test_cli_ingest_and_compact(spark, cli_env, capsys):
         spark, idx, make_queries(spark, corpus_n=200, n_queries=4), k=5
     )
     assert res.count() > 0
+    # tombstone delete via the CLI: no rebuild, exact stats correction
+    pre = IndexBuilder.for_index(spark, idx).meta()["n_docs"]
+    assert cli_main([
+        "delete", "--index", idx, "--where", "repo LIKE 'org0/%'",
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["status"] == "deleted" and out["tombstoned"] > 0
+    assert out["n_docs"] == pre - out["tombstoned"]
+    assert cli_main([
+        "delete", "--index", idx, "--where", "repo LIKE 'org0/%'",
+    ]) == 0  # idempotent: everything already tombstoned
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["status"] == "noop"
+    res = wand_search(
+        spark, idx, make_queries(spark, corpus_n=200, n_queries=4), k=5
+    )
+    assert res.count() > 0
 
 
 def test_streaming_incremental_ingest(spark, tmp_path):
@@ -188,6 +205,53 @@ def test_streaming_continuous_refresh_and_compact(spark, tmp_path):
         p for p in _glob.glob(f"{idx}/generations/gen*")
         if os.path.basename(p) != live
     ]
+    queries = make_queries(spark, corpus_n=60, n_queries=4)
+    assert wand_search(spark, idx, queries, k=5).count() > 0
+
+
+def test_streaming_crash_mid_fold_rerun_converges(spark, tmp_path):
+    """A crash DURING the in-sink fold (run committed, stats/meta not)
+    fails the streaming query; a rerun on the SAME checkpoint replays
+    the epoch, the idempotent run manifest no-ops the re-ingest, the
+    fold completes, and the final state equals a clean run's."""
+    inbox = str(tmp_path / "inbox")
+    ckpt = str(tmp_path / "ckpt")
+    idx = str(tmp_path / "idx")
+    os.makedirs(inbox, exist_ok=True)
+
+    b = IndexBuilder(spark, idx, n_buckets=4)
+    make_corpus(spark, 60).coalesce(1).write.mode("append").parquet(inbox)
+    q = stream_ingest(spark, b, inbox, ckpt, available_now=True,
+                      refresh_every=1)
+    q.awaitTermination(120)
+    assert b.meta()["n_docs"] == 60
+
+    # second batch: inject a crash mid-fold — after the delta's merge
+    # waves, before doc/term stats + the meta commit
+    make_corpus(spark, 40, start=60).coalesce(1).write.mode(
+        "append"
+    ).parquet(inbox)
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected crash mid-fold")
+
+    b._write_doc_term_stats = boom
+    q = stream_ingest(spark, b, inbox, ckpt, available_now=True,
+                      refresh_every=1)
+    from pyspark.errors import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination(120)
+    assert b.meta()["n_docs"] == 60  # meta never advanced
+
+    # rerun on the same checkpoint with a healthy builder
+    b2 = IndexBuilder(spark, idx, n_buckets=4)
+    q = stream_ingest(spark, b2, inbox, ckpt, available_now=True,
+                      refresh_every=1)
+    q.awaitTermination(120)
+    refresh(b2)  # fold any off-cycle tail
+    meta = b2.meta()
+    assert meta["n_docs"] == 100  # converged, nothing double-ingested
     queries = make_queries(spark, corpus_n=60, n_queries=4)
     assert wand_search(spark, idx, queries, k=5).count() > 0
 

@@ -144,6 +144,44 @@ def test_language_id_and_quality(spark):
     assert ((q["quality_score"] >= 0) & (q["quality_score"] <= 1)).all()
 
 
+def test_multilingual_markers_and_stopword_weight(spark):
+    """Round-5 widening: the marker table covers 12 languages, and the
+    quality score's stopword factor uses the best ratio over ALL of
+    them — a clean non-English doc no longer loses the 0.15 stopword
+    weight to an English-only marker set."""
+    from docinsight_spark.operators.textstats import LANG_MARKERS
+
+    assert len(LANG_MARKERS) >= 10 and next(iter(LANG_MARKERS)) == "en"
+    rows = [
+        (0, "the cat is in the hat and it is fine for all of us today"),
+        (1, "não sei como isso aconteceu mas ele fez sua parte até o fim"),
+        (2, "il problema non era chiaro per chi legge anche questo testo "
+            "lungo di prova"),
+        (3, "het was een mooie dag dat wij niet met de trein voor ook "
+            "maar even gingen"),
+        (4, "и вот он сказал что это не так как по плану но она ушла"),
+        (5, "yang penting adalah ini untuk kita semua dan tidak dari "
+            "mereka pada akhirnya"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = language_id(docs).toPandas().set_index("doc_id")
+    assert out.loc[0, "lang_pred"] == "en"
+    assert out.loc[1, "lang_pred"] == "pt"
+    assert out.loc[2, "lang_pred"] == "it"
+    assert out.loc[3, "lang_pred"] == "nl"
+    assert out.loc[4, "lang_pred"] == "ru"
+    assert out.loc[5, "lang_pred"] == "id"
+    # stopword factor parity: every clean doc above earns a non-trivial
+    # stopword contribution, within 0.1 of the English doc's score
+    q = quality_score(docs).toPandas().set_index("doc_id")
+    en = q.loc[0, "quality_score"]
+    for d in range(1, 6):
+        assert q.loc[d, "quality_score"] >= en - 0.1, (d, q.loc[d])
+    # regression shape: a marker-free "document" still scores lower
+    junk = spark.createDataFrame([(9, "zz qq ww " * 3)], "doc_id long, text string")
+    assert quality_score(junk).toPandas()["quality_score"][0] < en
+
+
 def test_quality_calibration_separates_planted_noise(spark):
     """The calibration sweep (reference analog: fine_tuner.py:580-643
     threshold sweep over labeled pairs) must find bands that separate

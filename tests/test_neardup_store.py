@@ -1,0 +1,171 @@
+"""Incremental near-dup gate: persisted signature store + delta probe.
+
+The batch pipeline (operators/dedup.minhash_near_duplicates) re-shingles
+everything each run; the store probes a DELTA against persisted band
+keys and verifies exact Jaccard only for candidates — the near-dup
+analog of the builder's exact-sha cross-run gate (reference:
+``/root/reference/pipeline_ingest.py:265-269``).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from docinsight_spark.corpus import make_corpus
+from docinsight_spark.index import neardup as nd
+from docinsight_spark.index.neardup import NearDupStore
+from docinsight_spark.operators.dedup import minhash_near_duplicates
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "docID long, content string"
+    )
+
+
+BASE_TEXT = (
+    "public static void main process the quick brown fox jumps over the "
+    "lazy dog while counting tokens in every partition of the corpus"
+)
+
+BASE_ROWS = [
+    (0, BASE_TEXT),
+    (1, "totally different text about shuffle joins and broadcast hints "
+        "inside the catalyst optimizer pipeline stages"),
+    (2, "yet another unrelated document mentioning parquet row groups "
+        "and vectorized readers with adaptive execution enabled"),
+]
+
+DELTA_ROWS = [
+    (10, BASE_TEXT),                                      # exact dup of 0
+    (11, BASE_TEXT.replace("lazy", "sleepy")),            # near dup of 0
+    (12, "fresh content entirely new sentences nothing shared with any "
+         "base document at all in this delta batch"),
+]
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    s = NearDupStore(
+        spark, str(tmp_path / "nd"), n=2, n_hashes=12, bands=6
+    )
+    s.add(_docs(spark, BASE_ROWS), "base")
+    return s
+
+
+def test_probe_flags_cross_run_neardups(spark, store):
+    """A near-dup arriving in a later delta is flagged against the BASE
+    corpus, with exact Jaccard values."""
+    got = store.probe(
+        _docs(spark, DELTA_ROWS), threshold=0.5
+    ).toPandas()
+    pairs = {(int(r.new_id), int(r.base_id)) for r in got.itertuples()}
+    assert (10, 0) in pairs
+    assert (11, 0) in pairs
+    assert all(n != 12 for n, _ in pairs)
+    exact = {
+        (int(r.new_id), int(r.base_id)): float(r.jaccard)
+        for r in got.itertuples()
+    }
+    assert exact[(10, 0)] == pytest.approx(1.0)
+    assert 0.5 <= exact[(11, 0)] < 1.0
+
+
+def test_probe_does_not_reshingle_base(spark, store, monkeypatch):
+    """The probe's shingling touches ONLY the delta — the base corpus is
+    read back as persisted signatures, never re-shingled."""
+    shingled_ids = []
+    orig = nd.shingles
+
+    def spy(df, id_col, text_col, n):
+        out = orig(df, id_col, text_col, n)
+        shingled_ids.append({int(r[0]) for r in df.select(id_col).collect()})
+        return out
+
+    monkeypatch.setattr(nd, "shingles", spy)
+    store.probe(_docs(spark, DELTA_ROWS), threshold=0.5).count()
+    assert len(shingled_ids) == 1  # one shingle pass, the delta's
+    assert shingled_ids[0] == {10, 11, 12}
+
+
+def test_probe_matches_batch_pipeline(spark, store):
+    """Store-probe results == the batch LSH pipeline run over
+    base ∪ delta, restricted to cross (new, base) pairs — the
+    incremental gate flags exactly what a full recompute would."""
+    everything = _docs(spark, BASE_ROWS + DELTA_ROWS)
+    batch = minhash_near_duplicates(
+        everything, "docID", "content", n=2, n_hashes=12, bands=6,
+        threshold=0.5,
+    ).toPandas()
+    base_ids = {r[0] for r in BASE_ROWS}
+    new_ids = {r[0] for r in DELTA_ROWS}
+    batch_cross = {
+        (max(a, b), min(a, b)): round(j, 9)
+        for a, b, j in batch[["id_a", "id_b", "jaccard"]].values
+        if (a in new_ids) != (b in new_ids)
+    }
+    got = store.probe(_docs(spark, DELTA_ROWS), threshold=0.5).toPandas()
+    mine = {
+        (int(n), int(b)): round(float(j), 9)
+        for n, b, j in got[["new_id", "base_id", "jaccard"]].values
+    }
+    assert mine == batch_cross
+
+
+def test_gate_drops_dups_and_registers_survivors(spark, store):
+    """gate(): near-dups dropped, survivors' signatures appended — a
+    THIRD batch near-duplicating a second-batch survivor is caught."""
+    surv = store.gate(_docs(spark, DELTA_ROWS), "delta1", threshold=0.5)
+    assert {int(r["docID"]) for r in surv.collect()} == {12}
+    third = _docs(
+        spark,
+        [(20, DELTA_ROWS[2][1].replace("fresh", "stale")),  # near-dup of 12
+         (21, "and one more genuinely novel row with its own words")],
+    )
+    surv2 = store.gate(third, "delta2", threshold=0.5)
+    assert {int(r["docID"]) for r in surv2.collect()} == {21}
+
+
+def test_add_is_idempotent_per_unit(spark, store):
+    """A replayed unit (streaming micro-batch retry) appends nothing."""
+    before = store._read("bands").count()
+    store.add(_docs(spark, BASE_ROWS), "base")  # replay
+    assert store._read("bands").count() == before
+
+
+def test_settings_pinned_on_reopen(spark, store):
+    reopened = NearDupStore.open(spark, store.root)
+    assert (reopened.n, reopened.n_hashes, reopened.bands) == (2, 12, 6)
+    with pytest.raises(ValueError, match="not comparable"):
+        NearDupStore(spark, store.root, n=3, n_hashes=12, bands=6)
+
+
+def test_builder_add_run_with_neardup_gate(spark, tmp_path):
+    """End-to-end through IndexBuilder.add_run: a delta run's near-dup
+    of an indexed doc is dropped before tokenization; the run manifest
+    counts only survivors."""
+    from docinsight_spark.index.builder import IndexBuilder
+
+    d = str(tmp_path / "idx")
+    store = NearDupStore(spark, f"{d}/neardup", n=2, n_hashes=12, bands=6)
+    b = IndexBuilder(spark, d, n_buckets=4)
+    base = make_corpus(spark, 60, seed=21, partitions=2)
+    b.add_run(base, "r0", neardup_store=store)
+    m0 = b._manifest("run-r0")
+    assert m0["docs"] == 60
+
+    # delta: 20 fresh docs + 1 near-dup (a base doc with one token edited)
+    fresh = make_corpus(spark, 20, seed=22, partitions=2, start=1000)
+    one = base.limit(1).select(
+        F.concat(F.col("repo"), F.lit("-copy")).alias("repo"),
+        "path", "commit", "lang",
+        F.regexp_replace("content", "int ", "long ").alias("content"),
+    )
+    b.add_run(fresh.unionByName(one), "r1", neardup_store=store,
+              neardup_threshold=0.5)
+    m1 = b._manifest("run-r1")
+    assert m1["docs"] == 20  # the near-dup was gated out
+    b.merge_all(fanin=2)
+    b.finalize()
+    assert b.meta()["n_docs"] == 80
