@@ -1570,7 +1570,9 @@ class IndexBuilder:
         ``_meta.json`` commit, so df corrections never double-apply.
         The base segment set only rewrites on an explicit full rebuild.
         Returns the new generation id or ``None`` when nothing
-        triggered."""
+        triggered.  (``fanin`` is retained for API compatibility; the
+        fold has been a single balanced pass over the victims' merged
+        outputs since round 5.)"""
         self._check_meta_compat()
         meta = self.meta()
         gens = meta.get("generations", [])
