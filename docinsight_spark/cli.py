@@ -138,6 +138,18 @@ def cmd_delete(args) -> int:
     return 0
 
 
+def cmd_fsck(args) -> int:
+    """Index integrity audit: stats identity, footer counts per root,
+    tombstone accounting, run coverage, merged-source survival.  Exits
+    non-zero when any check fails."""
+    from docinsight_spark.index.builder import IndexBuilder
+
+    spark = _spark("docinsight_fsck")
+    out = IndexBuilder.for_index(spark, args.index).fsck()
+    print(json.dumps(out))
+    return 0 if out["ok"] else 1
+
+
 def cmd_query(args) -> int:
     from docinsight_spark.index.wand import wand_search
 
@@ -259,6 +271,11 @@ def main(argv: list[str] | None = None) -> int:
              "e.g. \"repo = 'org/retired'\" or \"path LIKE 'vendor/%%'\"",
     )
     d.set_defaults(fn=cmd_delete)
+
+    f = sub.add_parser("fsck", help="index integrity audit (footer "
+                                    "counters + lineage; exit 1 on fail)")
+    f.add_argument("--index", required=True)
+    f.set_defaults(fn=cmd_fsck)
 
     q = sub.add_parser("query", help="BM25 top-k search")
     q.add_argument("--index", required=True)

@@ -1418,6 +1418,114 @@ class IndexBuilder:
         self.fold_ledger()
         return did
 
+    def fsck(self) -> dict:
+        """Index integrity audit — footer-counter and lineage checks, no
+        full-data Spark job (the reference's integrity surface is
+        SQLite's implicit constraints; a file-based index needs an
+        explicit auditor).  Verifies:
+
+        * the global stats identity  n_docs = base + Σgenerations −
+          Σtombstones  (and sum_dl / avgdl consistency),
+        * doc_stats footer row counts match every root's recorded
+          n_docs (pre-delete encode counts),
+        * every root's segments / doc_stats / term_stats dirs exist and
+          every generation's ``merged_source`` survives (the exact
+          oracle and the next compaction read it),
+        * every tombstone's per-root docs partitions exist with footer
+          counts matching the recorded per-root accounting,
+        * every run manifest's run is covered by committed lineage or
+          still pending (pending is not an error — it folds at the next
+          refresh), and runs GC'd by :meth:`gc_runs` are only ever
+          covered ones.
+
+        Returns ``{"ok": bool, "checks": {name: {"ok", "detail"}}}``."""
+        checks: dict[str, dict] = {}
+
+        def rec(name: str, ok: bool, detail: str = "") -> None:
+            checks[name] = {"ok": bool(ok), "detail": detail}
+
+        if not fsio.exists(f"{self.dir}/_meta.json"):
+            rec("meta", False, "no _meta.json (index not finalized)")
+            return {"ok": False, "checks": checks}
+        meta = self.meta()
+        gens = meta.get("generations", [])
+        tombs = meta.get("tombstones", [])
+        exp_n = (
+            meta["base"]["n_docs"] + sum(g["n_docs"] for g in gens)
+            - sum(t["n_docs"] for t in tombs)
+        )
+        exp_sum = (
+            meta["base"]["sum_dl"] + sum(g["sum_dl"] for g in gens)
+            - sum(t["sum_dl"] for t in tombs)
+        )
+        rec(
+            "stats_identity",
+            meta["n_docs"] == exp_n and meta["sum_dl"] == exp_sum
+            and abs(meta["avgdl"] - exp_sum / max(exp_n, 1)) < 1e-6,
+            f"n_docs={meta['n_docs']} expected={exp_n}; "
+            f"sum_dl={meta['sum_dl']} expected={exp_sum}",
+        )
+
+        roots = [("base", self.dir, int(meta["base"]["n_docs"]))] + [
+            (g["id"], f"{self.dir}/generations/{g['id']}", int(g["n_docs"]))
+            for g in gens
+        ]
+        for rid, rdir, n_enc in roots:
+            missing = [
+                sub for sub in ("segments", "doc_stats", "term_stats")
+                if not fsio.exists(f"{rdir}/{sub}")
+            ]
+            if missing:
+                rec(f"root_{rid}", False, f"missing {missing}")
+                continue
+            got, _ = _footer_rows(f"{rdir}/doc_stats", spark=self.spark)
+            rec(
+                f"root_{rid}", got == n_enc,
+                f"doc_stats rows {got} vs recorded {n_enc}",
+            )
+        for g in gens:
+            src = g.get("merged_source")
+            rec(
+                f"merged_source_{g['id']}",
+                bool(src) and fsio.exists(f"{src}/postings"),
+                str(src),
+            )
+
+        for t in tombs:
+            bad = []
+            for rid, v in t.get("per_root", {}).items():
+                p = f"{self.dir}/tombstones/{t['id']}/docs/root={rid}"
+                if not fsio.exists(p):
+                    bad.append(f"{rid}: dir missing")
+                    continue
+                got, _ = _footer_rows(p, spark=self.spark)
+                if got != int(v["n_docs"]):
+                    bad.append(f"{rid}: rows {got} vs {v['n_docs']}")
+            rec(f"tombstone_{t['id']}", not bad, "; ".join(bad))
+
+        covered = self._covered_runs()
+        run_ms = [m for m in self.manifests() if m["unit"].startswith("run-")]
+        pending = sorted(m["run_id"] for m in run_ms
+                         if m["run_id"] not in covered)
+        gc_orphans = sorted(
+            m["run_id"] for m in run_ms
+            if m["run_id"] not in covered
+            and not fsio.exists(f"{self.dir}/runs/{m['run_id']}/postings")
+        )
+        rec(
+            "runs", not gc_orphans,
+            f"pending(uncovered)={pending}; "
+            f"uncovered-with-GCed-postings={gc_orphans}",
+        )
+        final = [m for m in self.manifests() if m["unit"] == "merged-final"]
+        rec(
+            "merged_final",
+            bool(final) and "runs" in final[0]
+            and fsio.exists(f"{final[0]['source']}/postings"),
+            final[0].get("source", "missing") if final else "missing",
+        )
+        return {"ok": all(c["ok"] for c in checks.values()), "checks": checks}
+
     def delete_matching(self, condition) -> str | None:
         """Delete every doc of :meth:`docs_dim` satisfying ``condition``
         (a Column / SQL string) — the reference's ``purge_source``

@@ -209,10 +209,20 @@ class NearDupStore:
         try:
             sig = minhash_signatures(sh_new, self.n_hashes)
             new_bands = _band_rows(sig, self.n_hashes, self.bands)
+            # restrict the store scan to the DELTA's band keys first
+            # (broadcast semi-join — delta keys are tiny): the skew-cap
+            # window then shuffles only the matched buckets, not the
+            # whole store.  Semantics are unchanged — a semi-join keeps
+            # every row of a matching bucket, so per-bucket counts are
+            # identical to counting over the full store.
+            delta_keys = new_bands.select("band_id", "bkey").distinct()
+            base_hit = base_bands.join(
+                F.broadcast(delta_keys), ["band_id", "bkey"], "left_semi"
+            )
             # skew guard on the STORE side, same cap as the batch LSH:
             # boilerplate band buckets explode the candidate join
             sz = Window.partitionBy("band_id", "bkey")
-            base_b = base_bands.withColumn(
+            base_b = base_hit.withColumn(
                 "_n", F.count(F.lit(1)).over(sz)
             ).filter(F.col("_n") <= self.max_bucket).drop("_n")
             cand = (

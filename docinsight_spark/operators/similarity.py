@@ -389,30 +389,40 @@ def ivf_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: probe the ``nprobe`` nearest cells per query,
-    exact cosine inside.  Query→cell assignment happens driver-side
-    (query batches are small; the centroid table is tiny).
+    exact cosine inside.  Query→cell assignment runs IN-PLAN (round 5;
+    was a driver-side collect loop): the query batch cross-joins the
+    broadcast centroid table (n_queries × n_centroids tiny rows), a
+    per-query window keeps the ``nprobe`` best cells — so the operator
+    stays distributed even when the query batch grows to offline-batch
+    size (the fixed-quantizer flavor's shape, adopted here).
 
     Cell proximity uses the SAME metric KMeans assigned with — Euclidean
     distance to the raw centroid (‖q−c‖² = 1 − 2q·c + ‖c‖² for unit q,
     ranked by 2q·c − ‖c‖²).  Ranking by cosine against *normalized*
     centroids disagrees with the assignment when centroid norms vary, and
     can miss a vector's own cell (observed with sampled-fit centroids)."""
-    import numpy as np
-
-    cent = np.asarray(centroids, dtype=np.float64)
-    cent_sq = (cent ** 2).sum(axis=1)
-    qrows = with_unit_vectors(queries, vec_col).select(
-        F.col(query_id).alias("query_id"), "unit_vec"
-    ).collect()
-    pairs = []
-    for r in qrows:
-        qv = np.asarray(r["unit_vec"], dtype=np.float64)
-        prox = 2.0 * (cent @ qv) - cent_sq  # == −‖q−c‖² + const
-        for c in np.argsort(-prox)[:nprobe]:
-            pairs.append((int(r["query_id"]), int(c), [float(x) for x in qv]))
     spark = assigned.sparkSession
-    probes = spark.createDataFrame(
-        pairs, "query_id long, ivf_cluster int, qv array<double>"
+    cent_df = spark.createDataFrame(
+        [
+            (ci, [float(x) for x in c], float(sum(x * x for x in c)))
+            for ci, c in enumerate(centroids)
+        ],
+        "ivf_cluster int, cvec array<double>, c_sq double",
+    )
+    q = with_unit_vectors(queries, vec_col).select(
+        F.col(query_id).alias("query_id"), "unit_vec"
+    )
+    scored_cells = q.crossJoin(F.broadcast(cent_df)).withColumn(
+        "_prox",
+        2.0 * _dot(F.col("unit_vec"), F.col("cvec")) - F.col("c_sq"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("_prox").desc(), F.col("ivf_cluster")
+    )
+    probes = (
+        scored_cells.withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= nprobe)
+        .select("query_id", "ivf_cluster", F.col("unit_vec").alias("qv"))
     )
     cand = assigned.join(F.broadcast(probes), "ivf_cluster").select(
         "query_id", "vec_id", _dot(F.col("unit_vec"), F.col("qv")).alias("cosine")

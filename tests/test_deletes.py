@@ -250,6 +250,44 @@ def test_compact_physically_reclaims_tombstones(spark, del_setup):
     _assert_same(before, final)
 
 
+def test_fsck_green_on_healthy_lifecycle(spark, del_setup):
+    """fsck passes on an index carrying generations AND tombstones, and
+    each check reports a sensible detail string."""
+    out = del_setup["builder"].fsck()
+    assert out["ok"], out
+    names = set(out["checks"])
+    assert "stats_identity" in names and "root_base" in names
+    assert any(n.startswith("tombstone_") for n in names)
+
+
+def test_fsck_detects_corruption(spark, tmp_path):
+    """Tampered stats → stats_identity red; a deleted generation
+    doc_stats dir → root check red; exit path is loud, not silent."""
+    import shutil as _sh
+
+    from docinsight_spark.index import fsio
+
+    d = str(tmp_path / "sick")
+    b = IndexBuilder(spark, d, n_buckets=4)
+    b.build(make_corpus(spark, 120, seed=91, partitions=2))
+    b.add_run(make_corpus(spark, 60, seed=92, partitions=2), "d1")
+    b.refresh_delta(fanin=2)
+    assert b.fsck()["ok"]
+
+    meta = b.meta()
+    meta["n_docs"] += 5  # silent stat drift
+    fsio.write_json_atomic(f"{d}/_meta.json", meta)
+    out = b.fsck()
+    assert not out["ok"] and not out["checks"]["stats_identity"]["ok"]
+    meta["n_docs"] -= 5
+    fsio.write_json_atomic(f"{d}/_meta.json", meta)
+    assert b.fsck()["ok"]
+
+    _sh.rmtree(f"{d}/generations/gen0001/doc_stats")
+    out = b.fsck()
+    assert not out["ok"] and not out["checks"]["root_gen0001"]["ok"]
+
+
 def test_gc_runs_after_compaction(spark, del_setup):
     """L0 GC: covered runs' postings are reclaimable; queries, a further
     refresh and a further compact all still work off merged outputs.
