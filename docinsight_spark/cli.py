@@ -73,7 +73,19 @@ def cmd_ingest(args) -> int:
             spark, args.index, n_buckets=args.buckets, n_subs=args.subs,
             code_aware=not args.simple_tokens,
         )
-    b.add_run(read_corpus(spark, args.corpus), args.run_id)
+    nds = None
+    if args.neardup_store:
+        from docinsight_spark.index.neardup import NearDupStore
+
+        root = args.neardup_store.rstrip("/")
+        nds = (
+            NearDupStore.open(spark, root)
+            if fsio.exists(f"{root}/_meta.json")
+            else NearDupStore(spark, root)
+        )
+    b.add_run(read_corpus(spark, args.corpus), args.run_id,
+              neardup_store=nds,
+              neardup_threshold=args.neardup_threshold)
     gid = b.refresh_delta(fanin=args.fanin) if not args.no_refresh else None
     print(json.dumps({"status": "ingested", "run_id": args.run_id,
                       "generation": gid}))
@@ -105,12 +117,21 @@ def cmd_compact(args) -> int:
         if args.gc_grace is not None
         else []
     )
+    nd_fold = None
+    if args.neardup_store:
+        from docinsight_spark.index.neardup import NearDupStore
+
+        nds = NearDupStore.open(spark, args.neardup_store)
+        nd_fold = nds.fold()
+        if args.gc_grace is not None:
+            nds.gc(grace_sec=args.gc_grace)
     meta = b.meta()
     print(json.dumps({
         "status": "compacted" if gid else "noop",
         "generation": gid,
         "generations": [g["id"] for g in meta.get("generations", [])],
         "reclaimed": reclaimed,
+        "neardup_fold": nd_fold,
     }))
     return 0
 
@@ -238,6 +259,13 @@ def main(argv: list[str] | None = None) -> int:
     i.add_argument("--simple-tokens", action="store_true")
     i.add_argument("--no-refresh", action="store_true",
                    help="only record the run; fold later")
+    i.add_argument(
+        "--neardup-store", default=None, metavar="DIR",
+        help="incremental near-dup gate: probe this persisted signature "
+             "store and drop near-dups before indexing (created on "
+             "first use; later runs reopen with its pinned settings)",
+    )
+    i.add_argument("--neardup-threshold", type=float, default=0.7)
     i.set_defaults(fn=cmd_ingest)
 
     c = sub.add_parser(
@@ -257,6 +285,11 @@ def main(argv: list[str] | None = None) -> int:
         "--gc-grace", type=float, default=None, metavar="SEC",
         help="also reclaim tombstoned victims older than SEC "
              "(pick SEC above the worst-case query scan time)",
+    )
+    c.add_argument(
+        "--neardup-store", default=None, metavar="DIR",
+        help="also fold this near-dup signature store's per-unit dirs "
+             "(and gc its fold victims when --gc-grace is given)",
     )
     c.set_defaults(fn=cmd_compact)
 

@@ -121,16 +121,34 @@ class NearDupStore:
 
     # -- write side ---------------------------------------------------------
 
+    def _fold_info(self) -> dict | None:
+        """Committed fold manifest, or ``None`` before the first fold."""
+        p = f"{self.root}/_fold.json"
+        return fsio.read_json(p) if fsio.exists(p) else None
+
     def _unit_done(self, unit: str) -> bool:
+        fold = self._fold_info()
+        if fold and unit in fold["covered_units"]:
+            return True
         p = f"{self.root}/_units/{unit}.json"
         return fsio.exists(p) and fsio.read_json(p).get("status") == "complete"
 
-    def units(self) -> list[str]:
+    def _loose_units(self) -> list[str]:
+        """Units whose signatures still live in per-unit dirs (committed
+        after the last fold, or never folded)."""
+        fold = self._fold_info()
+        covered = set(fold["covered_units"]) if fold else set()
         return sorted(
-            fn[: -len(".json")]
+            u
             for fn in fsio.listdir(f"{self.root}/_units")
             if fn.endswith(".json")
+            and (u := fn[: -len(".json")]) not in covered
         )
+
+    def units(self) -> list[str]:
+        fold = self._fold_info()
+        covered = list(fold["covered_units"]) if fold else []
+        return sorted(set(covered) | set(self._loose_units()))
 
     def add(
         self,
@@ -168,17 +186,109 @@ class NearDupStore:
         )
 
     def _read(self, sub: str) -> DataFrame | None:
-        """One multi-path scan over the COMMITTED unit dirs (a crashed
-        append's partial dir must not count; multi-path keeps the plan a
-        single scan node at 10^4+ streaming units — same rationale as
-        the builder's ``_read_plain``)."""
-        paths = [
-            p for u in self.units()
+        """One multi-path scan over the committed fold dir (if any) plus
+        the COMMITTED loose unit dirs (a crashed append's partial dir
+        must not count; multi-path keeps the plan a single scan node at
+        10^4+ streaming units — same rationale as the builder's
+        ``_read_plain``)."""
+        paths = []
+        fold = self._fold_info()
+        if fold is not None and fsio.exists(
+            p := f"{self.root}/{sub}/fold={fold['id']}"
+        ):
+            paths.append(p)
+        paths += [
+            p for u in self._loose_units()
             if fsio.exists(p := f"{self.root}/{sub}/unit={u}")
         ]
         if not paths:
             return None
         return self.spark.read.parquet(*paths)
+
+    def fold(self, target_files: int = 16) -> int | None:
+        """Consolidate the per-unit band/shingle dirs (plus any prior
+        fold) into ONE ``fold=<id>`` dir per side — the store's analog
+        of the index's compaction.  Under continuous ingest the store
+        otherwise accumulates one dir per micro-batch: the multi-path
+        scan keeps the *plan* flat, but file counts (and object-store
+        listing costs) grow O(units).  After a fold, ``probe`` scans a
+        few large files regardless of how many units were ever added.
+
+        Crash-safe in the builder's style: the consolidated data dirs
+        are written first; the atomic ``_fold.json`` rewrite is the
+        commit point (a crash before it leaves an orphan dir that the
+        next fold overwrites, readers never see it).  Victim dirs are
+        NOT deleted inline — a tombstone under ``_gc/`` records them
+        and :meth:`gc` reclaims after a reader grace period (same
+        contract as the builder's ``gc_generations``).  Unit manifests
+        of covered units are absorbed into the fold manifest, keeping
+        ``_units/`` bounded by the loose tail; ``add`` replay of a
+        covered unit stays a no-op.  Returns the new fold id, or
+        ``None`` when there is nothing loose to fold."""
+        loose = self._loose_units()
+        prior = self._fold_info()
+        if not loose:
+            return None
+        fid = int(prior["id"]) + 1 if prior else 0
+        subs = ["bands"] + (["shingles"] if self.keep_shingles else [])
+        victims = []
+        for sub in subs:
+            df = self._read(sub)
+            if df is None:
+                continue
+            df.repartition(target_files).write.mode("overwrite").parquet(
+                f"{self.root}/{sub}/fold={fid}"
+            )
+            victims += [
+                p for u in loose
+                if fsio.exists(p := f"{self.root}/{sub}/unit={u}")
+            ]
+            if prior is not None and fsio.exists(
+                p := f"{self.root}/{sub}/fold={prior['id']}"
+            ):
+                victims.append(p)
+        covered = sorted(
+            (set(prior["covered_units"]) if prior else set()) | set(loose)
+        )
+        # commit point: readers switch to the fold atomically
+        fsio.write_json_atomic(
+            f"{self.root}/_fold.json",
+            {"id": fid, "covered_units": covered, "ts": time.time()},
+        )
+        # tombstone AFTER the commit: a crash between the two leaks the
+        # victim dirs (storage only) — the reverse order could let gc()
+        # delete data a never-committed fold still depended on
+        fsio.makedirs(f"{self.root}/_gc")
+        fsio.write_json_atomic(
+            f"{self.root}/_gc/fold-{fid}.json",
+            {"ts": time.time(), "paths": victims},
+        )
+        for u in loose:
+            fsio.remove(f"{self.root}/_units/{u}.json")
+        return fid
+
+    def gc(self, grace_sec: float = 600.0) -> list[str]:
+        """Reclaim fold victims tombstoned longer than ``grace_sec``
+        ago.  Same reader contract as the index's ``gc_generations``:
+        grace must exceed the worst-case probe scan time (plus clock
+        skew on shared storage).  Returns the removed paths."""
+        removed = []
+        gdir = f"{self.root}/_gc"
+        if not fsio.exists(gdir):
+            return removed
+        now = time.time()
+        for fn in list(fsio.listdir(gdir)):
+            if not fn.endswith(".json"):
+                continue
+            m = fsio.read_json(f"{gdir}/{fn}")
+            if now - float(m.get("ts", 0)) < grace_sec:
+                continue
+            for p in m.get("paths", []):
+                if fsio.exists(p):
+                    fsio.rmtree(p)
+                removed.append(p)
+            fsio.remove(f"{gdir}/{fn}")
+        return removed
 
     # -- probe side ---------------------------------------------------------
 
@@ -290,9 +400,21 @@ class NearDupStore:
         corpus, register the SURVIVORS' signatures under ``unit``, and
         return the surviving docs.  (Within-delta near-dups are the
         batch operators' job — this gate is strictly delta-vs-store,
-        like the builder's cross-run exact gate.)"""
+        like the builder's cross-run exact gate.)
+
+        Replay-safe: matches whose ``base_id`` is in the DELTA's own id
+        set are ignored.  A crashed micro-batch replayed after its
+        ``add`` committed would otherwise probe against its own stored
+        copy, and a within-batch near-dup pair (kept by this gate on
+        the first attempt) would flag itself on the second — divergent
+        survivors across attempts breaks the sink's exactly-once
+        contract.  A stored row with the same docID IS the same doc
+        identity (docID is a content-address upstream), so skipping it
+        never misses a real cross-batch duplicate."""
+        delta_ids = docs.select(F.col(id_col).alias("base_id")).distinct()
         dup_ids = (
             self.probe(docs, id_col, text_col, threshold)
+            .join(F.broadcast(delta_ids), "base_id", "left_anti")
             .select(F.col("new_id").alias(id_col))
             .distinct()
         )

@@ -30,6 +30,8 @@ def stream_ingest(
     compact_max_generations: int = 8,
     gc_grace_sec: float = 600.0,
     max_files_per_trigger: int = 64,
+    neardup_store=None,
+    neardup_threshold: float = 0.7,
 ):
     """Ingest corpus files appearing under ``input_dir`` as index runs.
 
@@ -49,6 +51,14 @@ def stream_ingest(
     than ``gc_grace_sec``.  Runs landing after the last on-cycle epoch
     fold at the next cycle; after an ``availableNow`` drain, call
     :func:`refresh` once to fold any off-cycle tail.
+
+    ``neardup_store`` (a :class:`docinsight_spark.index.neardup.
+    NearDupStore`) adds the incremental near-dup gate per micro-batch —
+    each batch probes ONLY itself against the persisted signatures —
+    and, on the same refresh cycle as index compaction, folds the
+    store's per-unit dirs (``NearDupStore.fold``) and reclaims fold
+    victims past the same ``gc_grace_sec``: without that, continuous
+    ingest grows one signature dir per micro-batch forever.
     """
     src = (
         spark.readStream.schema(CORPUS_SCHEMA)
@@ -59,13 +69,21 @@ def stream_ingest(
     def sink(batch_df, epoch_id: int) -> None:
         # one run per micro-batch; replays of the same epoch hit the
         # completed manifest and no-op (idempotent exactly-once sink)
-        builder.add_run(batch_df, f"stream{epoch_id:05d}")
+        builder.add_run(
+            batch_df,
+            f"stream{epoch_id:05d}",
+            neardup_store=neardup_store,
+            neardup_threshold=neardup_threshold,
+        )
         if refresh_every and (int(epoch_id) + 1) % refresh_every == 0:
             refresh(builder)
             builder.compact(
                 max_generations=compact_max_generations, delete_victims=False
             )
             builder.gc_generations(grace_sec=gc_grace_sec)
+            if neardup_store is not None:
+                neardup_store.fold()
+                neardup_store.gc(grace_sec=gc_grace_sec)
             # L0 GC: covered runs' postings are dead once folded (merges
             # read them exactly once; compaction reads merged_source) —
             # without this, continuous mode retains every micro-batch's

@@ -287,3 +287,99 @@ def test_golden_topk(spark, tmp_path, tiny_corpus):
         assert (a["query_id"], a["rank"], a["docID"]) == (
             b["query_id"], b["rank"], b["docID"]), (a, b)
         assert abs(a["score"] - b["score"]) < 1e-6
+
+
+def test_streaming_with_neardup_store_folds_signatures(spark, tmp_path):
+    """Continuous mode + incremental near-dup gate: per-micro-batch
+    probes drop cross-batch near-dups, and on the refresh cycle the
+    store's per-unit dirs fold into one consolidated dir (plus GC) —
+    signature storage stays bounded under continuous ingest."""
+    from docinsight_spark.index.neardup import NearDupStore
+
+    inbox = str(tmp_path / "inbox")
+    ckpt = str(tmp_path / "ckpt")
+    idx = str(tmp_path / "idx")
+    os.makedirs(inbox, exist_ok=True)
+    b = IndexBuilder(spark, idx, n_buckets=4)
+    nds = NearDupStore(spark, str(tmp_path / "nd"), n=2, n_hashes=12,
+                       bands=6)
+
+    def drain():
+        q = stream_ingest(
+            spark, b, inbox, ckpt, available_now=True, refresh_every=1,
+            gc_grace_sec=0.0, neardup_store=nds, neardup_threshold=0.5,
+        )
+        q.awaitTermination(120)
+
+    base = make_corpus(spark, 40, seed=7)
+    base.write.mode("append").parquet(inbox)
+    drain()
+    assert b.meta()["n_docs"] == 40
+
+    # second drop: 20 fresh docs + 2 byte-identical copies of base docs
+    # under new identities (the near-dup gate's job, cross-batch)
+    fresh = make_corpus(spark, 20, seed=8, start=1000)
+    dups = base.limit(2).select(
+        F.concat(F.col("repo"), F.lit("-mirror")).alias("repo"),
+        "path", "commit", "lang", "content",
+    )
+    fresh.unionByName(dups).write.mode("append").parquet(inbox)
+    drain()
+    assert b.meta()["n_docs"] == 60  # dups gated, only fresh indexed
+
+    # the refresh cycle folded the store: no loose unit dirs remain and
+    # the fold manifest covers every unit ever added
+    assert nds._loose_units() == []
+    fold = nds._fold_info()
+    assert fold is not None and len(fold["covered_units"]) >= 2
+    # gc at grace 0 ran inside the sink: victim unit dirs are gone
+    import glob as _glob
+    assert not _glob.glob(f"{nds.root}/bands/unit=*")
+    # and the folded store still gates: replaying the (never-registered)
+    # mirror dups still hits their stored base twins
+    from docinsight_spark.operators.postings import with_doc_id
+
+    got = nds.probe(
+        with_doc_id(dups).select("docID", "content"), threshold=0.5
+    )
+    assert got.count() > 0
+
+
+def test_cli_ingest_with_neardup_store(spark, tmp_path, capsys):
+    """`ingest --neardup-store`: the store is created on first use,
+    later runs reopen it, near-dup slices are gated out, and
+    `compact --neardup-store` folds the per-unit signature dirs."""
+    idx = str(tmp_path / "idx")
+    nd = str(tmp_path / "nd")
+    base = make_corpus(spark, 80, seed=31)
+    c0 = str(tmp_path / "c0")
+    base.write.mode("overwrite").parquet(c0)
+    assert cli_main([
+        "ingest", "--corpus", c0, "--index", idx, "--run-id", "r0",
+        "--fanin", "2", "--buckets", "4", "--neardup-store", nd,
+    ]) == 0
+    capsys.readouterr()
+    # delta: 10 fresh + 5 near-identical mirrors of base docs
+    fresh = make_corpus(spark, 10, seed=32, start=500)
+    mirror = base.limit(5).select(
+        F.concat(F.col("repo"), F.lit("-m")).alias("repo"),
+        "path", "commit", "lang", "content",
+    )
+    c1 = str(tmp_path / "c1")
+    fresh.unionByName(mirror).write.mode("overwrite").parquet(c1)
+    assert cli_main([
+        "ingest", "--corpus", c1, "--index", idx, "--run-id", "r1",
+        "--fanin", "2", "--neardup-store", nd,
+        "--neardup-threshold", "0.5",
+    ]) == 0
+    capsys.readouterr()
+    b = IndexBuilder.for_index(spark, idx)
+    assert b.meta()["n_docs"] == 90  # mirrors gated, fresh indexed
+    assert cli_main([
+        "compact", "--index", idx, "--neardup-store", nd,
+        "--gc-grace", "0",
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["neardup_fold"] == 0  # first fold committed
+    import glob as _glob
+    assert not _glob.glob(f"{nd}/bands/unit=*")  # victims reclaimed

@@ -312,3 +312,27 @@ def test_gc_runs_after_compaction(spark, del_setup):
     # exact oracle parity survives the whole life-cycle
     a = _res(wand_search(spark, b.dir, q, k=5))
     _assert_same(a, _res(oracle_from_index(spark, b.dir, q, k=5)))
+
+
+def test_second_delete_after_full_lifecycle(spark, del_setup):
+    """A SECOND delete set layered on an index that has since been
+    compacted, run-GC'd, refreshed and re-compacted: ids stay monotonic,
+    overlap with the first delete doesn't double-subtract, the fast path
+    still matches the exact oracle, and fsck stays green.
+    (Module-last ordering: relies on the prior tests' compactions.)"""
+    b = del_setup["builder"]
+    q = del_setup["queries"]
+    pre = b.meta()
+    did2 = b.delete_matching(F.xxhash64("content_sha") % 7 == 1)
+    assert did2 is not None and did2 != del_setup["did"]
+    meta = b.meta()
+    ids = [t["id"] for t in meta.get("tombstones", [])]
+    assert len(ids) == len(set(ids))
+    newly = sum(t["n_docs"] for t in meta["tombstones"]) - sum(
+        t["n_docs"] for t in pre.get("tombstones", [])
+    )
+    assert meta["n_docs"] == pre["n_docs"] - newly
+    a = _res(wand_search(spark, b.dir, q, k=5))
+    _assert_same(a, _res(oracle_from_index(spark, b.dir, q, k=5)))
+    out = b.fsck()
+    assert out["ok"], out

@@ -169,3 +169,96 @@ def test_builder_add_run_with_neardup_gate(spark, tmp_path):
     b.merge_all(fanin=2)
     b.finalize()
     assert b.meta()["n_docs"] == 80
+
+
+def test_fold_preserves_probe_and_bounds_dirs(spark, store):
+    """fold(): many per-unit dirs collapse into one fold dir per side;
+    probe results are IDENTICAL before and after; add keeps working;
+    replay of a covered unit stays a no-op; gc reclaims victims."""
+    for i in range(4):
+        store.add(
+            _docs(spark, [(100 + i, f"unit specific text number {i} with "
+                                    f"some shared vocabulary tokens")]),
+            f"u{i}",
+        )
+    delta = _docs(spark, DELTA_ROWS)
+    before = {
+        (int(r["new_id"]), int(r["base_id"]), round(float(r["jaccard"]), 9))
+        for r in store.probe(delta, threshold=0.5).collect()
+    }
+    n_units_before = len(store.units())
+    fid = store.fold(target_files=2)
+    assert fid == 0
+    # read path is now exactly one dir per side
+    for sub in ("bands", "shingles"):
+        paths = [
+            p for p in [f"{store.root}/{sub}/fold={fid}"]
+            if nd.fsio.exists(p)
+        ]
+        assert paths, sub
+    assert store._loose_units() == []
+    assert len(store.units()) == n_units_before  # coverage, not loss
+    after = {
+        (int(r["new_id"]), int(r["base_id"]), round(float(r["jaccard"]), 9))
+        for r in store.probe(delta, threshold=0.5).collect()
+    }
+    assert after == before and before  # identical, non-empty
+    # replayed covered unit: still a no-op
+    n = store._read("bands").count()
+    store.add(_docs(spark, BASE_ROWS), "base")
+    assert store._read("bands").count() == n
+    # adds after the fold land as loose units and are probed
+    store.add(_docs(spark, [(200, BASE_TEXT + " trailing tail")]), "u9")
+    got = store.probe(_docs(spark, [(300, BASE_TEXT)]), threshold=0.5)
+    assert {int(r["base_id"]) for r in got.collect()} >= {0, 200}
+    # gc: victims tombstoned, reclaimed only past grace
+    assert store.gc(grace_sec=3600) == []
+    removed = store.gc(grace_sec=0.0)
+    assert removed and all(not nd.fsio.exists(p) for p in removed)
+    # a second fold covers the post-fold unit and the prior fold
+    fid2 = store.fold(target_files=2)
+    assert fid2 == 1
+    store.gc(grace_sec=0.0)
+    got2 = store.probe(_docs(spark, [(300, BASE_TEXT)]), threshold=0.5)
+    assert {int(r["base_id"]) for r in got2.collect()} >= {0, 200}
+
+
+def test_fold_crash_before_commit_is_invisible(spark, store):
+    """An orphan fold data dir WITHOUT the _fold.json commit (crash
+    mid-fold) changes nothing: probe ignores it, the next fold
+    overwrites it."""
+    store._read("bands").limit(1).write.mode("overwrite").parquet(
+        f"{store.root}/bands/fold=0"
+    )
+    delta = _docs(spark, DELTA_ROWS)
+    got = {
+        int(r["base_id"])
+        for r in store.probe(delta, threshold=0.5).collect()
+    }
+    assert 0 in got  # full base still probed, orphan ignored
+    fid = store.fold(target_files=1)
+    assert fid == 0  # overwrote the orphan
+    got2 = {
+        int(r["base_id"])
+        for r in store.probe(delta, threshold=0.5).collect()
+    }
+    assert 0 in got2
+
+
+def test_gate_replay_after_partial_commit_is_idempotent(spark, store):
+    """Crash-replay shape: the store's add() committed but the caller's
+    downstream commit didn't, so the SAME batch is gated again.  A
+    within-batch near-dup pair must not flag itself against its own
+    stored copy on the second attempt — survivors are identical."""
+    batch = _docs(
+        spark,
+        [(50, "alpha beta gamma delta epsilon zeta eta theta iota"),
+         (51, "alpha beta gamma delta epsilon zeta eta theta kappa"),
+         (52, "completely independent words nothing in common here")],
+    )
+    first = {int(r["docID"]) for r in
+             store.gate(batch, "replayed", threshold=0.4).collect()}
+    assert first == {50, 51, 52}  # within-batch pair kept (batch op's job)
+    again = {int(r["docID"]) for r in
+             store.gate(batch, "replayed", threshold=0.4).collect()}
+    assert again == first
