@@ -1493,6 +1493,75 @@ def wand_topk_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Resurrection under the oracle gate (round 5): build over the FULL
+# table, tombstone-delete every doc_id divisible by 3, then RE-INGEST
+# those very rows (IndexBuilder.add_run re-admits a docID once every
+# past copy is dead) and fold them into a generation.  Markers are
+# root-scoped — the dead base copies stay excluded, the new generation
+# copies score — so the fast path must reproduce the exact BM25 oracle
+# over the FULL table, as if the delete never happened (N/avgdl/df
+# restored exactly, newest-root-wins doc lengths, hash-checked).
+# Reference analog: re-running ingest after a source purge,
+# /root/reference/pipeline_ingest.py + db_manager.py:145-165.
+
+_WANDREZ_QUERIES: list[tuple[int, str]] = [
+    (0, "merge scan window"),
+    (1, "join batch filter"),
+    (2, "sort stream hash"),
+]
+_WANDREZ_TERMS: list[tuple[int, str]] = [
+    (q, t) for q, text in _WANDREZ_QUERIES for t in text.split()
+]
+
+
+@_register(
+    "wand_topk_resurrected",
+    _bm25_oracle_sql(_WANDREZ_TERMS, WAND_K, doc_id_alias="doc_id"),
+)
+def wand_topk_resurrected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete + re-ingest end-to-end: tombstone a third of the corpus,
+    ingest the same rows again, refresh — and the multi-root WAND path
+    (per-root exclusion, newest-root doc stats, restored df) must match
+    the oracle computed over the full, never-deleted table."""
+    import tempfile
+
+    from docinsight_spark.index.builder import IndexBuilder
+    from docinsight_spark.index.wand import wand_search
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id"),
+        F.lit("sf/docs").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id")).alias("path"),
+        F.lit("0000").alias("commit"),
+        F.lit("en").alias("lang"),
+        F.col("text").alias("content"),
+    )
+    idx = tempfile.mkdtemp(prefix="contract_wandrez_")
+    b = IndexBuilder(spark, idx, n_buckets=8, code_aware=False)
+    b.build(docs.drop("doc_id"))
+    dim = b.docs_dim().select(
+        "docID", F.expr("CAST(substr(path, 5) AS LONG)").alias("doc_id")
+    )
+    assert b.delete_docs(
+        dim.filter(F.col("doc_id") % 3 == 0).select("docID")
+    ) is not None
+    b.add_run(docs.filter(F.col("doc_id") % 3 == 0).drop("doc_id"), "rez")
+    assert b.refresh_delta(fanin=2) is not None
+    queries = spark.createDataFrame(
+        _WANDREZ_QUERIES, "query_id long, query_text string"
+    )
+    res = wand_search(spark, idx, queries, k=_WAND_OVERFETCH)
+    scored = res.join(dim, "docID").select(
+        "query_id", "doc_id", F.round("score", 4).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= WAND_K)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text → embedding featurizer under the oracle gate (round 3).  The
 # production featurizer (operators/embedder.featurize_text) is a

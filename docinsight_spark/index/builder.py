@@ -314,18 +314,25 @@ def read_doc_stats_bucket(index_dir: str, bucket: int) -> dict | None:
 
 def read_doc_stats_bucket_multi(roots: list[str], bucket: int) -> dict | None:
     """Union of one bucket's doc-length maps across segment-set roots
-    (base index dir + committed generation dirs).  docIDs are disjoint
-    across generations (the cross-run dedup gate), so concatenation is
-    exact."""
+    (base index dir + committed generation dirs), NEWEST root winning on
+    a docID collision.  docIDs are disjoint across live roots except
+    through resurrection (a doc deleted from an older root and
+    re-ingested into a newer one): the newer copy's dl is the live one,
+    and ``roots`` is ordered oldest→newest (base first, generations in
+    commit order), so keep the LAST occurrence of each docID."""
     parts = [p for p in (read_doc_stats_bucket(r, bucket) for r in roots) if p]
     if not parts:
         return None
     if len(parts) == 1:
         return parts[0]
-    return {
-        "docID": np.concatenate([p["docID"] for p in parts]),
-        "dl": np.concatenate([p["dl"] for p in parts]),
-    }
+    docs = np.concatenate([p["docID"] for p in parts])
+    dl = np.concatenate([p["dl"] for p in parts])
+    # np.unique on the reversed array: "first occurrence" there is the
+    # last (newest-root) occurrence in original order
+    uniq, idx = np.unique(docs[::-1], return_index=True)
+    if len(uniq) == len(docs):
+        return {"docID": docs, "dl": dl}
+    return {"docID": uniq, "dl": dl[::-1][idx]}
 
 
 class IndexBuilder:
@@ -706,6 +713,12 @@ class IndexBuilder:
                 [f"{self.dir}/runs/{m['run_id']}/docs" for m in priors]
             ).select("docID")
             seen_total = sum(int(m.get("docs", 0)) for m in priors)
+            rez = self._resurrectable_ids(seen)
+            if rez is not None:
+                # resurrection: docIDs whose every past copy is dead may
+                # re-ingest — they leave the seen set, and the new copy
+                # lands in a newer root no tombstone marker covers
+                seen = seen.join(F.broadcast(rez), "docID", "left_anti")
             docs = self._gate_new_docs(docs, seen, seen_total)
         if neardup_store is not None:
             docs = neardup_store.gate(
@@ -777,6 +790,57 @@ class IndexBuilder:
         if not counts:
             return "java"
         return sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+
+    def _graveyard_ids(self) -> DataFrame | None:
+        """docIDs whose dead copies were physically reclaimed at
+        compaction — the permanent half of the copy-death ledger (live
+        tombstone markers are the transient half).  Grows O(deleted
+        docs); cleared by :func:`purge_index`."""
+        root = f"{self.dir}/graveyard"
+        if not fsio.exists(root):
+            return None
+        paths = [f"{root}/{d}" for d in fsio.listdir(root)]
+        if not paths:
+            return None
+        return self._read_plain(paths).select("docID")
+
+    def _resurrectable_ids(self, seen: DataFrame) -> DataFrame | None:
+        """docIDs whose EVERY past copy is dead (live tombstone marker
+        or graveyard entry) — the ingest gate subtracts these from its
+        seen set so a deleted doc can be re-ingested (resurrection).
+
+        Copy accounting: each admission of a docID appends one doc row
+        to its run (run docs are never rewritten, even by L0 GC), and
+        each dead copy holds exactly one live marker until compaction
+        moves it to the graveyard.  So #copies == #markers + #graveyard
+        ⇔ no live or pending copy exists.  A pending (un-folded) copy
+        can hold no marker — it blocks re-ingest, as it must."""
+        if not fsio.exists(f"{self.dir}/_meta.json"):
+            return None
+        meta = self.meta()
+        tomb = load_tombstone_pairs(self.spark, self.dir, meta)
+        grave = self._graveyard_ids()
+        if tomb is None and grave is None:
+            return None
+        frames = [f for f in (
+            tomb.select("docID") if tomb is not None else None, grave
+        ) if f is not None]
+        dead = _union_frames(frames).groupBy("docID").agg(
+            F.count(F.lit(1)).alias("_n_dead")
+        )
+        # restrict the copy count to dead docIDs first: the dead set is
+        # small (O(deletes)), so this is a broadcast semi-join plus a
+        # tiny aggregation, never an O(corpus) groupBy
+        copies = (
+            seen.join(F.broadcast(dead.select("docID")), "docID", "left_semi")
+            .groupBy("docID")
+            .agg(F.count(F.lit(1)).alias("_n_copies"))
+        )
+        return (
+            copies.join(F.broadcast(dead), "docID")
+            .filter(F.col("_n_copies") == F.col("_n_dead"))
+            .select("docID")
+        )
 
     def _gate_new_docs(
         self, docs: DataFrame, seen: DataFrame, seen_total: int
@@ -1214,14 +1278,76 @@ class IndexBuilder:
     # -- convenience --------------------------------------------------------
 
     def docs_dim(self) -> DataFrame:
-        """(docID, repo, path, commit, lang, content_sha) — virtual union
-        of the runs' doc tables (no physical rewrite)."""
-        paths = [
-            f"{self.dir}/runs/{m['run_id']}/docs"
-            for m in self.manifests()
-            if m["unit"].startswith("run-")
-        ]
-        return self._read_plain(paths)
+        """(docID, repo, path, commit, lang, content_sha) — the LIVE doc
+        dimension: a virtual union of the runs' doc tables (no physical
+        rewrite), dead copies resolved away when deletes exist.
+
+        Fast path (no deletes ever): one multi-path scan, zero shuffle —
+        unchanged from before deletes existed.  With live tombstones or
+        a graveyard, only the CONTESTED docIDs (those with any dead
+        copy — O(deletes), broadcastable) leave the flat scan: their
+        rows gain run provenance via ``input_file_name()``, the newest
+        copy wins (runs ordered by manifest commit time — a resurrected
+        doc's live copy is its most recent admission), and fully-dead
+        docIDs (#copies == #dead markers+graveyard entries) drop out
+        entirely.  The clean slice never shuffles; the window runs over
+        the tiny contested slice only."""
+        from pyspark.sql import Window
+
+        runs = [m for m in self.manifests() if m["unit"].startswith("run-")]
+        flat = self._read_plain(
+            [f"{self.dir}/runs/{m['run_id']}/docs" for m in runs]
+        )
+        tomb = (
+            load_tombstone_pairs(self.spark, self.dir, self.meta())
+            if fsio.exists(f"{self.dir}/_meta.json")
+            else None
+        )
+        grave = self._graveyard_ids()
+        if tomb is None and grave is None:
+            return flat
+        dead = _union_frames([
+            f for f in (
+                tomb.select("docID") if tomb is not None else None, grave
+            ) if f is not None
+        ])
+        dead_ids = dead.distinct()
+        clean = flat.join(F.broadcast(dead_ids), "docID", "left_anti")
+        seq_df = self.spark.createDataFrame(
+            [
+                (m["run_id"], i)
+                for i, m in enumerate(
+                    sorted(runs, key=lambda m: (m.get("ts", 0.0), m["run_id"]))
+                )
+            ],
+            "_run string, _seq int",
+        )
+        dead_counts = dead.groupBy("docID").agg(
+            F.count(F.lit(1)).alias("_n_dead")
+        )
+        # provenance BEFORE any join: input_file_name() resolves only
+        # while the plan has a single file source (the multi-path flat
+        # scan is one relation; a join would add the tombstone one)
+        tagged = flat.withColumn(
+            "_run",
+            F.regexp_extract(F.input_file_name(), r"runs/([^/]+)/docs", 1),
+        )
+        contested = (
+            tagged.join(F.broadcast(dead_ids), "docID", "left_semi")
+            .join(F.broadcast(seq_df), "_run")
+        )
+        w_new = Window.partitionBy("docID").orderBy(F.col("_seq").desc())
+        newest = (
+            contested.withColumn("_rn", F.row_number().over(w_new))
+            .withColumn(
+                "_n_copies", F.count(F.lit(1)).over(Window.partitionBy("docID"))
+            )
+            .filter(F.col("_rn") == 1)
+            .join(F.broadcast(dead_counts), "docID")
+            .filter(F.col("_n_copies") > F.col("_n_dead"))
+            .drop("_run", "_seq", "_rn", "_n_copies", "_n_dead")
+        )
+        return clean.unionByName(newest)
 
     def build(
         self,
@@ -1301,13 +1427,16 @@ class IndexBuilder:
           surviving values (the commit point readers flip on).
 
         Queries after this return results rank-identical to a full
-        rebuild without the victims.  Deleted docIDs stay excluded until
+        rebuild without the victims.  Dead copies stay excluded until
         physically reclaimed (compaction rewrites generation roots
         without them; the base set drops them at the next full rebuild).
-        Re-ingesting a tombstoned docID is NOT supported until then —
-        the cross-run dedup gate still sees the original run docs, and
-        the tombstone would shadow the re-add; purge + rebuild is the
-        escape hatch (documented LSM-delete semantics, delete-wins).
+        Markers are ROOT-scoped ("the copy in this root is dead", never
+        "this docID is dead"), so a tombstoned docID may later be
+        RE-INGESTED: the ingest gate admits it once every past copy is
+        dead, the new copy lands in a newer root no marker covers, and
+        the kernel's per-root exclusion plus newest-root-wins doc stats
+        make it visible again (resurrection — no rebuild, no special
+        casing).
 
         ``victims``: any DataFrame with a ``docID`` column.  Returns the
         new delete-set id, or ``None`` when no victim is actually live
@@ -1331,11 +1460,15 @@ class IndexBuilder:
         prior = meta.get("tombstones", [])
         vic = ds.join(vic_ids, "docID")
         if prior:
-            # already-deleted docs must not subtract twice
-            vic = vic.join(
-                load_tombstone_docs(self.spark, self.dir, meta), "docID",
-                "left_anti",
-            )
+            # already-deleted COPIES must not subtract twice — the guard
+            # is (docID, root)-scoped: after a resurrection the same
+            # docID has a dead copy (marked root) and a live one (newer
+            # root), and a re-delete must mark only the live copy
+            tomb_prior = load_tombstone_pairs(self.spark, self.dir, meta)
+            if tomb_prior is not None:
+                vic = vic.join(
+                    F.broadcast(tomb_prior), ["docID", "root"], "left_anti"
+                )
         troot = f"{self.dir}/tombstones/{did}"
         from pyspark import StorageLevel
 
@@ -1708,23 +1841,36 @@ class IndexBuilder:
         vruns = sorted(
             r for g in gens if g["id"] in victims for r in g["runs"]
         )
-        vsrcs = sorted(
-            g["merged_source"] for g in gens if g["id"] in victims
+        vpairs = sorted(
+            (g["merged_source"], g["id"]) for g in gens if g["id"] in victims
         )
+        vsrcs = [s for s, _gid in vpairs]
         gid = self._next_gen_id()
         groot = f"{self.dir}/generations/{gid}"
         src = f"{groot}/merged/fold"
         unit = f"genmerge-{gid}-fold"
         prior = self._manifest(unit) or {}
         if prior.get("status") != "complete" or prior.get("covers") != vsrcs:
-            postings_in = self._read_union([f"{s}/postings" for s in vsrcs])
             tomb = self._tombstone_docs_for_roots(victims)
             if tomb is not None:
-                # physical delete reclaim: victims' tombstoned docs do
+                # physical delete reclaim: victims' tombstoned COPIES do
                 # not enter the new generation (tombstone sets are small
-                # relative to the corpus — broadcast anti-join)
-                postings_in = postings_in.join(
-                    F.broadcast(tomb), "docID", "left_anti"
+                # relative to the corpus — broadcast anti-join).  The
+                # join is (docID, root)-scoped: when a dead copy and its
+                # resurrected live copy fold in the same pass, a
+                # docID-only anti-join would drop both.
+                postings_in = _union_frames([
+                    self.spark.read.parquet(f"{s}/postings")
+                    .withColumn("_vroot", F.lit(gid_v))
+                    for s, gid_v in vpairs
+                ]).join(
+                    F.broadcast(tomb.withColumnRenamed("root", "_vroot")),
+                    ["docID", "_vroot"],
+                    "left_anti",
+                ).drop("_vroot")
+            else:
+                postings_in = self._read_union(
+                    [f"{s}/postings" for s in vsrcs]
                 )
             (
                 postings_in.repartitionByRange(
@@ -1743,22 +1889,37 @@ class IndexBuilder:
                 unit, inputs=vsrcs, covers=vsrcs, postings_merged=n_fold,
                 postings_per_bucket=per_bucket,
             )
-        postings = self.spark.read.parquet(f"{src}/postings")
-        n_new, _avg, sum_new = self._write_doc_term_stats(postings, groot)
-        lineage = self._encode_segments(
-            postings, f"{groot}/segments", avgdl_now, [groot]
-        )
         survivors = [g for g in gens if g["id"] not in victims]
-        survivors.append(
-            {
-                "id": gid,
-                "avgdl_enc": avgdl_now,
-                "n_docs": n_new,
-                "sum_dl": sum_new,
-                "runs": vruns,
-                "merged_source": src,
-            }
+        empty_fold = (
+            int((self._manifest(unit) or {}).get("postings_merged", 0)) == 0
         )
+        if empty_fold:
+            # every folded doc was tombstoned (e.g. a generation holding
+            # only deleted docs): no new generation at all — an empty
+            # partitioned write is unreadable, and an empty root would
+            # be dead weight.  The victims' stats and their markers
+            # cancel exactly (each marked copy contributed +1 to its
+            # generation and −1 to a tombstone), so dropping both sides
+            # together preserves the global identity.  The generation
+            # manifest below still records vruns as covered.
+            n_new = sum_new = 0
+            lineage = {"segments_built": 0, "bytes_compressed": 0}
+        else:
+            postings = self.spark.read.parquet(f"{src}/postings")
+            n_new, _avg, sum_new = self._write_doc_term_stats(postings, groot)
+            lineage = self._encode_segments(
+                postings, f"{groot}/segments", avgdl_now, [groot]
+            )
+            survivors.append(
+                {
+                    "id": gid,
+                    "avgdl_enc": avgdl_now,
+                    "n_docs": n_new,
+                    "sum_dl": sum_new,
+                    "runs": vruns,
+                    "merged_source": src,
+                }
+            )
         # Shrink tombstones in the SAME meta commit as the generation
         # swap: the new generation's stats already exclude the reclaimed
         # docs, so their df/N corrections must stop applying atomically
@@ -1789,6 +1950,22 @@ class IndexBuilder:
                 )
             else:
                 tomb_cleanup.append(f"{self.dir}/tombstones/{t['id']}")
+        # Resurrection ledger: markers this fold physically reclaims
+        # move to the graveyard BEFORE the meta swap drops them — the
+        # ingest gate's copy accounting (a docID may be re-ingested iff
+        # every past copy is dead) keeps counting these copies after
+        # their markers disappear, because the covered runs' doc rows
+        # that recorded them are never rewritten.  Overwrite-idempotent
+        # per fold id; a crash between this write and the meta commit
+        # double-counts the copies (marker + graveyard) — benign: the
+        # gate may then admit a re-ingest early, but the still-live
+        # marker keeps the old copy invisible and the retried fold
+        # converges the accounting.
+        grave = self._tombstone_docs_for_roots(victims)
+        if grave is not None:
+            grave.select("docID").write.mode("overwrite").parquet(
+                f"{self.dir}/graveyard/{gid}"
+            )
         # same docs, same global stats — generation list and tombstone
         # coverage change together
         meta.update(generations=survivors, tombstones=new_tombs)
@@ -1803,7 +1980,11 @@ class IndexBuilder:
             compacted_from=sorted(victims),
             segments_built=lineage["segments_built"],
             bytes_compressed=lineage["bytes_compressed"],
+            **({"empty": True} if empty_fold else {}),
         )
+        if empty_fold:
+            # remove the (unreadable) empty fold output after the commit
+            fsio.rmtree(groot)
         # Victims are unreferenced once meta points away — reclaim.
         # ``delete_victims=False`` defers reclamation: meta-read →
         # file-scan is not atomic even in-process, so a query that
@@ -1836,8 +2017,8 @@ class IndexBuilder:
         return gid
 
     def _tombstone_docs_for_roots(self, roots: set[str]) -> DataFrame | None:
-        """docIDs of every live tombstoned doc whose physical home is in
-        ``roots`` (the compaction victims) — the set physical reclaim
+        """(docID, root) of every live tombstone marker whose root is in
+        ``roots`` (the compaction victims) — the copies physical reclaim
         drops from the fold."""
         frames = []
         for t in self.meta().get("tombstones", []):
@@ -1849,7 +2030,7 @@ class IndexBuilder:
                     f"{self.dir}/tombstones/{t['id']}/docs"
                 )
                 .filter(F.col("root").isin(hit))
-                .select("docID")
+                .select("docID", "root")
             )
         return _union_frames(frames) if frames else None
 
@@ -1942,21 +2123,48 @@ def doc_stats_roots(index_dir: str, meta: dict) -> list[str]:
     ]
 
 
-def tombstone_bucket_dirs(index_dir: str, meta: dict) -> list[str]:
-    """Per-(delete-set, root) docs dirs of every live tombstone — the
-    kernel appends ``/doc_bucket=<b>`` for its bucket-local exclusion
-    read (mirrors the doc_stats layout; no Spark job, no shuffle)."""
-    return [
-        f"{index_dir}/tombstones/{t['id']}/docs/root={rid}"
-        for t in meta.get("tombstones", [])
-        for rid in t.get("per_root", {})
-    ]
+def tombstone_root_dirs(index_dir: str, meta: dict) -> dict[str, list[str]]:
+    """Live tombstone docs dirs grouped by the root they apply to —
+    the kernel's ROOT-SCOPED exclusion input.  A marker means "the copy
+    of docID in this root is dead", never "docID is dead": a doc
+    re-ingested after a delete lives in a newer root no marker covers,
+    so it resurrects without any special casing in the kernel."""
+    out: dict[str, list[str]] = {}
+    for t in meta.get("tombstones", []):
+        for rid in t.get("per_root", {}):
+            out.setdefault(rid, []).append(
+                f"{index_dir}/tombstones/{t['id']}/docs/root={rid}"
+            )
+    return out
+
+
+def load_tombstone_pairs(
+    spark: SparkSession, index_dir: str, meta: dict
+) -> DataFrame | None:
+    """(docID, root) of every live tombstone marker — the root-scoped
+    form of :func:`load_tombstone_docs` (which copies of which docs are
+    dead, not which docIDs).  ``None`` when no live tombstones exist."""
+    frames = []
+    for t in meta.get("tombstones", []):
+        live = list(t.get("per_root", {}))
+        if not live:
+            continue
+        frames.append(
+            spark.read.parquet(f"{index_dir}/tombstones/{t['id']}/docs")
+            .filter(F.col("root").isin(live))
+            .select("docID", "root")
+        )
+    if not frames:
+        return None
+    return _union_frames(frames)
 
 
 def read_tombstone_bucket(dirs: list[str], bucket: int) -> np.ndarray | None:
-    """Sorted deleted docIDs for one bucket across all live tombstone
-    roots (``dirs`` from :func:`tombstone_bucket_dirs`); ``None`` when
-    nothing is tombstoned in the bucket."""
+    """Sorted deleted docIDs for one bucket across the given tombstone
+    docs dirs (one root's entry from :func:`tombstone_root_dirs` —
+    the kernel appends ``/doc_bucket=<b>`` for a bucket-local read, no
+    Spark job, no shuffle); ``None`` when nothing is tombstoned in the
+    bucket."""
     import pyarrow.parquet as pq
 
     parts = []
@@ -1994,11 +2202,20 @@ def load_tombstone_docs(
 def _minus_tombstones(
     spark: SparkSession, df: DataFrame, index_dir: str, meta: dict
 ) -> DataFrame:
-    tomb = load_tombstone_docs(spark, index_dir, meta)
+    """Drop the DEAD COPIES from a root-tagged frame: ``df`` must carry
+    a ``_root`` column naming the physical root each row came from, and
+    the anti-join runs on (docID, root) — by docID alone a resurrected
+    doc's live copy (newer root, no marker) would be dropped along with
+    its dead one.  Returns the frame without ``_root``."""
+    tomb = load_tombstone_pairs(spark, index_dir, meta)
     if tomb is None:
-        return df
+        return df.drop("_root")
     # tombstone sets are small relative to the corpus (else you rebuild)
-    return df.join(F.broadcast(tomb), "docID", "left_anti")
+    return df.join(
+        F.broadcast(tomb.withColumnRenamed("root", "_root")),
+        ["docID", "_root"],
+        "left_anti",
+    ).drop("_root")
 
 
 def _union_frames(frames: list[DataFrame]) -> DataFrame:
@@ -2015,16 +2232,18 @@ def load_segments(spark: SparkSession, index_dir: str, meta: dict) -> DataFrame:
     read): sibling partitioned roots trip Spark's directory-structure
     inference, and each root needs its own literal column anyway."""
     frames = [
-        spark.read.parquet(f"{index_dir}/segments").withColumn(
+        spark.read.parquet(f"{index_dir}/segments")
+        .withColumn(
             "_avgdl_enc",
             F.lit(float(meta.get("base", {}).get("avgdl_enc", meta["avgdl"]))),
         )
+        .withColumn("_root", F.lit("base"))
     ]
     for g in meta.get("generations", []):
         frames.append(
-            spark.read.parquet(
-                f"{index_dir}/generations/{g['id']}/segments"
-            ).withColumn("_avgdl_enc", F.lit(float(g["avgdl_enc"])))
+            spark.read.parquet(f"{index_dir}/generations/{g['id']}/segments")
+            .withColumn("_avgdl_enc", F.lit(float(g["avgdl_enc"])))
+            .withColumn("_root", F.lit(g["id"]))
         )
     return _union_frames(frames)
 
@@ -2066,16 +2285,18 @@ def load_term_stats(spark: SparkSession, index_dir: str, meta: dict) -> DataFram
 
 
 def load_doc_stats(spark: SparkSession, index_dir: str, meta: dict) -> DataFrame:
-    """(docID, dl) across base + generations (docIDs disjoint),
-    tombstoned docs excluded."""
+    """(docID, dl) across base + generations, dead copies excluded
+    (root-scoped: a resurrected doc keeps its newest copy)."""
     frames = [
-        spark.read.parquet(f"{index_dir}/doc_stats").select("docID", "dl")
+        spark.read.parquet(f"{index_dir}/doc_stats")
+        .select("docID", "dl")
+        .withColumn("_root", F.lit("base"))
     ]
     for g in meta.get("generations", []):
         frames.append(
-            spark.read.parquet(
-                f"{index_dir}/generations/{g['id']}/doc_stats"
-            ).select("docID", "dl")
+            spark.read.parquet(f"{index_dir}/generations/{g['id']}/doc_stats")
+            .select("docID", "dl")
+            .withColumn("_root", F.lit(g["id"]))
         )
     return _minus_tombstones(spark, _union_frames(frames), index_dir, meta)
 
@@ -2089,15 +2310,15 @@ def load_merged_postings(spark: SparkSession, index_dir: str, meta: dict) -> Dat
     if not final:
         raise ValueError("index has no merged-final manifest")
     frames = [
-        spark.read.parquet(f"{final[0]['source']}/postings").select(
-            "term", "docID", "tf"
-        )
+        spark.read.parquet(f"{final[0]['source']}/postings")
+        .select("term", "docID", "tf")
+        .withColumn("_root", F.lit("base"))
     ]
     for g in meta.get("generations", []):
         frames.append(
-            spark.read.parquet(f"{g['merged_source']}/postings").select(
-                "term", "docID", "tf"
-            )
+            spark.read.parquet(f"{g['merged_source']}/postings")
+            .select("term", "docID", "tf")
+            .withColumn("_root", F.lit(g["id"]))
         )
     return _minus_tombstones(spark, _union_frames(frames), index_dir, meta)
 
@@ -2107,8 +2328,9 @@ def purge_index(index_dir: str) -> None:
     merges, generations, manifests) — the reference's cascade purge +
     VACUUM (``/root/reference/db/db_manager.py:145-165``)."""
     for sub in ("segments", "doc_stats", "term_stats", "docs", "runs",
-                "merged", "generations", "tombstones", "manifests",
-                "lineage_segments.json", "_meta.json", "_writer.lock"):
+                "merged", "generations", "tombstones", "graveyard",
+                "manifests", "lineage_segments.json", "_meta.json",
+                "_writer.lock"):
         fsio.rmtree(f"{index_dir}/{sub}")
 
 
@@ -2135,6 +2357,7 @@ def purge_run(index_dir: str, run_id: str) -> None:
                          "generation-", "genmerge-", "delete-")),
     )
     fsio.rmtree(f"{index_dir}/tombstones")
+    fsio.rmtree(f"{index_dir}/graveyard")
     fsio.rmtree(f"{index_dir}/merged")
     fsio.rmtree(f"{index_dir}/generations")
     fsio.rmtree(f"{index_dir}/_meta.json")

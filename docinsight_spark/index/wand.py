@@ -65,7 +65,7 @@ from docinsight_spark.index.builder import (
     read_doc_stats_bucket_multi,
     read_tombstone_bucket,
     strict_dl_enabled,
-    tombstone_bucket_dirs,
+    tombstone_root_dirs,
 )
 from docinsight_spark.index.codec import BlockMeta, decode_block
 
@@ -87,15 +87,20 @@ class _SegRow:
     hotspot on hot terms: ~100 blocks × 200 queries of dict hits and
     per-block searchsorted)."""
 
-    __slots__ = ("term", "df", "meta", "payload", "upper",
+    __slots__ = ("term", "df", "meta", "payload", "upper", "root",
                  "_blocks", "_scores", "_full")
 
-    def __init__(self, term, df, meta: BlockMeta, payload, upper):
+    def __init__(self, term, df, meta: BlockMeta, payload, upper,
+                 root: str = "base"):
         self.term = term
         self.df = float(df)
         self.meta = meta
         self.payload = payload
         self.upper = upper
+        # physical root (base / generation id) this segment row belongs
+        # to — tombstone exclusion is ROOT-scoped so a doc re-ingested
+        # after a delete (live copy in a newer root) still scores
+        self.root = root
         self._blocks: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         self._scores: dict[int, np.ndarray] = {}
         self._full: tuple[np.ndarray, np.ndarray] | None = None
@@ -150,8 +155,13 @@ def _score_shard(
     b: float,
     k: int,
     dl_of,
-    excl: np.ndarray | None = None,
+    excl_of=None,
 ) -> list[tuple[int, int, float]]:
+    """``excl_of``: optional callable root → sorted np.ndarray of
+    tombstoned docIDs for that root (or None) — exclusion is per
+    segment row's root, not global by docID, so a resurrected doc's
+    live copy (newer root, no marker) keeps scoring while its dead
+    copy is dropped."""
     term_rows: dict[str, list[_SegRow]] = {}
     for r in rows:
         term_rows.setdefault(r.term, []).append(r)
@@ -193,10 +203,12 @@ def _score_shard(
                     - np.searchsorted(doc_filter, d, side="left")
                 ) > 0
                 d, s = d[keep], s[keep]
+            excl = excl_of(r.root) if excl_of is not None else None
             if excl is not None and len(d):
-                # tombstone exclusion: deleted docs never enter the
-                # accumulator (bounds stay admissible — dropping docs
-                # only lowers true scores below the stored maxima)
+                # tombstone exclusion: this root's deleted copies never
+                # enter the accumulator (bounds stay admissible —
+                # dropping docs only lowers true scores below the
+                # stored maxima)
                 keep = (
                     np.searchsorted(excl, d, side="right")
                     - np.searchsorted(excl, d, side="left")
@@ -493,8 +505,10 @@ def wand_search(
         waves = _wave_qmaps(
             queries, code_aware, query_chunk_size, stats_out, qlang
         )
+    if "_root" not in base.columns:
+        base = base.withColumn("_root", F.lit("base"))
     dl_roots = doc_stats_roots(index_dir, meta)
-    tomb_dirs = tombstone_bucket_dirs(index_dir, meta)
+    tomb_dirs = tombstone_root_dirs(index_dir, meta)
     local = None
     # closing(): if _wave_local_topk (or anything in this loop) raises
     # mid-iteration, the _wave_qmaps generator's finally block must run
@@ -535,14 +549,17 @@ def _wave_local_topk(
     b: float,
     k: int,
     n_shards: int,
-    tomb_dirs: list[str] | None = None,
+    tomb_dirs: dict[str, list[str]] | None = None,
 ) -> DataFrame:
     """Per-shard local top-k rows for one wave of queries (pre-merge).
 
-    ``tomb_dirs``: live tombstone per-root docs dirs — the kernel loads
-    each bucket's deleted-docID set once (bucket-local read, cached per
-    task like doc_stats) and excludes those docs from every query's
-    accumulator, so results match a rebuild without the victims."""
+    ``tomb_dirs``: live tombstone docs dirs grouped by root (from
+    :func:`tombstone_root_dirs`) — the kernel loads each (root, bucket)
+    deleted-docID set once (bucket-local read, cached per task like
+    doc_stats) and excludes those docs from that ROOT's segment rows
+    only, so results match a rebuild without the victims while a
+    resurrected doc's live copy (newer root, no marker) keeps
+    scoring."""
     all_terms = sorted({t for ts in qmap.values() for t in ts})
     if not all_terms:
         return spark.createDataFrame([], "query_id long, docID long, score double")
@@ -575,6 +592,7 @@ def _wave_local_topk(
             terms = pdf["term"].to_numpy()
             dfs = pdf["df"].to_numpy()
             encs = pdf["_avgdl_enc"].to_numpy()
+            rts = pdf["_root"].to_numpy()
             fdoc, ldoc = pdf["first_doc"].values, pdf["last_doc"].values
             bns, offs = pdf["bn"].values, pdf["offsets"].values
             dbs, mxs = pdf["doc_bytes"].values, pdf["max_score"].values
@@ -612,11 +630,13 @@ def _wave_local_topk(
                     doc_bytes=np.asarray(dbs[i], np.int32),
                     max_score=mx,
                 )
-                row = _SegRow(terms[i], df_i, meta_i, pays[i], upper_i)
+                row = _SegRow(
+                    terms[i], df_i, meta_i, pays[i], upper_i, root=rts[i]
+                )
                 by_shard.setdefault((int(bks[i]), int(subs[i])), []).append(row)
 
         dl_cache: dict[int, tuple | None] = {}
-        excl_cache: dict[int, np.ndarray | None] = {}
+        excl_cache: dict[tuple[str, int], np.ndarray | None] = {}
 
         def dl_lookup(bucket: int):
             if bucket not in dl_cache:
@@ -629,11 +649,22 @@ def _wave_local_topk(
             return dl_cache[bucket]
 
         def excl_lookup(bucket: int):
+            """root → sorted dead docIDs for (root, bucket), or a plain
+            None when the index has no live tombstones (fast path: the
+            kernel skips per-row exclusion entirely)."""
             if not tomb_dirs:
                 return None
-            if bucket not in excl_cache:
-                excl_cache[bucket] = read_tombstone_bucket(tomb_dirs, bucket)
-            return excl_cache[bucket]
+
+            def of(root: str):
+                key = (root, bucket)
+                if key not in excl_cache:
+                    dirs = tomb_dirs.get(root)
+                    excl_cache[key] = (
+                        read_tombstone_bucket(dirs, bucket) if dirs else None
+                    )
+                return excl_cache[key]
+
+            return of
 
         out: list[tuple[int, int, float]] = []
         for (bucket, _sub), rows in by_shard.items():
@@ -648,7 +679,7 @@ def _wave_local_topk(
             out.extend(
                 _score_shard(
                     rows, qmap_bc, n_docs, avgdl, k1, b, k, dl_of,
-                    excl=excl_lookup(bucket),
+                    excl_of=excl_lookup(bucket),
                 )
             )
         yield pd.DataFrame(out, columns=["query_id", "docID", "score"]).astype(
