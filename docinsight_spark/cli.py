@@ -146,7 +146,12 @@ def cmd_delete(args) -> int:
 
     spark = _spark("docinsight_delete")
     b = IndexBuilder.for_index(spark, args.index)
-    did = b.delete_matching(args.where)
+    nds = None
+    if getattr(args, "neardup_store", None):
+        from docinsight_spark.index.neardup import NearDupStore
+
+        nds = NearDupStore.open(spark, args.neardup_store)
+    did = b.delete_matching(args.where, neardup_store=nds)
     meta = b.meta()
     print(json.dumps({
         "status": "deleted" if did else "noop",
@@ -302,6 +307,12 @@ def main(argv: list[str] | None = None) -> int:
         "--where", required=True,
         help="SQL condition over (repo, path, commit, lang, content_sha), "
              "e.g. \"repo = 'org/retired'\" or \"path LIKE 'vendor/%%'\"",
+    )
+    d.add_argument(
+        "--neardup-store", default=None, metavar="DIR",
+        help="also forget the victims' near-dup signatures in this "
+             "store (new content similar to a deleted doc stops being "
+             "gated; the store's next fold reclaims the rows)",
     )
     d.set_defaults(fn=cmd_delete)
 

@@ -1402,7 +1402,7 @@ class IndexBuilder:
         return out
 
     @_leased
-    def delete_docs(self, victims: DataFrame) -> str | None:
+    def delete_docs(self, victims: DataFrame, neardup_store=None) -> str | None:
         """O(delta) doc-level delete: record ``victims``' docIDs as a
         TOMBSTONE set — no segment is rewritten, no rebuild happens.
 
@@ -1549,6 +1549,13 @@ class IndexBuilder:
             per_root=per_root,
         )
         self.fold_ledger()
+        if neardup_store is not None:
+            # disable the victims' near-dup signatures too: content
+            # similar to a deleted doc must not be gated against it
+            # (idempotent — forget() unions into the current set)
+            neardup_store.forget(
+                self.spark.read.parquet(f"{troot}/docs").select("docID")
+            )
         return did
 
     def fsck(self) -> dict:
@@ -1636,6 +1643,29 @@ class IndexBuilder:
                     bad.append(f"{rid}: rows {got} vs {v['n_docs']}")
             rec(f"tombstone_{t['id']}", not bad, "; ".join(bad))
 
+        gy_root = f"{self.dir}/graveyard"
+        if fsio.exists(gy_root):
+            # resurrection ledger: every graveyard fold set must stay
+            # readable and non-empty — the ingest gate's copy accounting
+            # reads them forever.  (No manifest cross-check: graveyard
+            # dirs deliberately outlive their compaction generation's
+            # manifest, which _reclaim_generation deletes when the
+            # generation is itself later compacted away.)
+            dirs = sorted(fsio.listdir(gy_root))
+            bad = []
+            for dname in dirs:
+                try:
+                    got, _ = _footer_rows(f"{gy_root}/{dname}", spark=self.spark)
+                except Exception as exc:
+                    bad.append(f"{dname}: unreadable ({exc})")
+                    continue
+                if got <= 0:
+                    bad.append(f"{dname}: empty")
+            rec(
+                "graveyard", not bad,
+                "; ".join(bad) or f"{len(dirs)} fold sets",
+            )
+
         covered = self._covered_runs()
         run_ms = [m for m in self.manifests() if m["unit"].startswith("run-")]
         pending = sorted(m["run_id"] for m in run_ms
@@ -1659,13 +1689,16 @@ class IndexBuilder:
         )
         return {"ok": all(c["ok"] for c in checks.values()), "checks": checks}
 
-    def delete_matching(self, condition) -> str | None:
+    def delete_matching(self, condition, neardup_store=None) -> str | None:
         """Delete every doc of :meth:`docs_dim` satisfying ``condition``
         (a Column / SQL string) — the reference's ``purge_source``
         analog (delete one repo / path prefix / source) without a
-        rebuild."""
+        rebuild.  ``neardup_store``: also :meth:`~docinsight_spark.index.
+        neardup.NearDupStore.forget` the victims' signatures, so new
+        content near-duplicating a deleted doc is no longer gated."""
         return self.delete_docs(
-            self.docs_dim().filter(condition).select("docID")
+            self.docs_dim().filter(condition).select("docID"),
+            neardup_store=neardup_store,
         )
 
     # -- incremental generations (O(delta) refresh + compaction) -------------

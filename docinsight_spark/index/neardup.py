@@ -180,6 +180,18 @@ class NearDupStore:
         finally:
             if self.keep_shingles:
                 sh.unpersist()
+        # resurrection parity with the exact gate: re-registering a
+        # forgotten (deleted) docID clears its forget entry, BEFORE the
+        # unit manifest commits — a crash in between replays the whole
+        # add (unit not done) and re-clears idempotently
+        forg = self.forgotten_ids()
+        if forg is not None:
+            delta_ids = docs.select(F.col(id_col).alias("id")).distinct()
+            if forg.join(delta_ids, "id", "left_semi").limit(1).count():
+                kept = forg.join(
+                    F.broadcast(delta_ids), "id", "left_anti"
+                )
+                self._commit_forgotten(kept)
         fsio.write_json_atomic(
             f"{self.root}/_units/{unit}.json",
             {"unit": unit, "status": "complete", "ts": time.time()},
@@ -232,10 +244,16 @@ class NearDupStore:
         fid = int(prior["id"]) + 1 if prior else 0
         subs = ["bands"] + (["shingles"] if self.keep_shingles else [])
         victims = []
+        # physical reclaim of forgotten (deleted) docs' rows: the fold
+        # output excludes them, and the forgotten set clears after the
+        # commit (its ids have no stored rows left to disable)
+        forg = self.forgotten_ids()
         for sub in subs:
             df = self._read(sub)
             if df is None:
                 continue
+            if forg is not None:
+                df = df.join(F.broadcast(forg), "id", "left_anti")
             df.repartition(target_files).write.mode("overwrite").parquet(
                 f"{self.root}/{sub}/fold={fid}"
             )
@@ -265,7 +283,61 @@ class NearDupStore:
         )
         for u in loose:
             fsio.remove(f"{self.root}/_units/{u}.json")
+        if forg is not None:
+            # after the fold no stored row matches a forgotten id; a
+            # crash between the fold commit and this clear leaves the
+            # set applied to rows that no longer exist — a no-op
+            self._commit_forgotten(None)
         return fid
+
+    # -- forget side (doc deletes) ------------------------------------------
+
+    def _forgotten_info(self) -> dict | None:
+        p = f"{self.root}/_forgotten.json"
+        return fsio.read_json(p) if fsio.exists(p) else None
+
+    def forgotten_ids(self) -> DataFrame | None:
+        """Doc ids whose stored signatures are disabled (deleted docs);
+        ``None`` when nothing is forgotten."""
+        info = self._forgotten_info()
+        if not info or not int(info.get("n", 0)):
+            return None
+        return self.spark.read.parquet(f"{self.root}/forgotten/v{info['v']}")
+
+    def _commit_forgotten(self, ids: DataFrame | None) -> None:
+        """Atomically swap the forgotten set to ``ids`` (None = clear).
+        The old version dir goes through the ``_gc`` tombstone path —
+        an in-flight probe that read the old pointer may still scan it."""
+        info = self._forgotten_info() or {}
+        v = int(info.get("v", -1)) + 1
+        n = ids.count() if ids is not None else 0
+        if n:
+            ids.write.mode("overwrite").parquet(f"{self.root}/forgotten/v{v}")
+        fsio.write_json_atomic(
+            f"{self.root}/_forgotten.json",
+            {"v": v, "n": n, "ts": time.time()},
+        )
+        if info and int(info.get("n", 0)):
+            fsio.makedirs(f"{self.root}/_gc")
+            fsio.write_json_atomic(
+                f"{self.root}/_gc/forgotten-v{info['v']}.json",
+                {"ts": time.time(),
+                 "paths": [f"{self.root}/forgotten/v{info['v']}"]},
+            )
+
+    def forget(self, victims: DataFrame, id_col: str = "docID") -> int:
+        """Disable the stored signatures of ``victims`` (the near-dup
+        analog of the index's tombstone delete): probes stop flagging
+        new content against them immediately, and the next :meth:`fold`
+        reclaims their band/shingle rows physically.  A later
+        ``add``/``gate`` of a forgotten docID (resurrection) re-registers
+        it and clears its forget entry, so near-dups of the re-ingested
+        content are flagged again.  Returns the forgotten-set size."""
+        ids = victims.select(F.col(id_col).alias("id")).distinct()
+        cur = self.forgotten_ids()
+        new = ids if cur is None else cur.unionByName(ids).distinct()
+        self._commit_forgotten(new)
+        return int((self._forgotten_info() or {}).get("n", 0))
 
     def gc(self, grace_sec: float = 600.0) -> list[str]:
         """Reclaim fold victims tombstoned longer than ``grace_sec``
@@ -315,6 +387,14 @@ class NearDupStore:
         base_bands = self._read("bands")
         if base_bands is None:
             return empty
+        forgotten = self.forgotten_ids()
+        if forgotten is not None:
+            # deleted docs don't gate new content (forgotten sets are
+            # O(deletes) — broadcast); the shingle side needs no second
+            # anti-join: candidate base ids derive from the bands
+            base_bands = base_bands.join(
+                F.broadcast(forgotten), "id", "left_anti"
+            )
         sh_new = shingles(docs, id_col, text_col, self.n).persist()
         try:
             sig = minhash_signatures(sh_new, self.n_hashes)
@@ -343,14 +423,16 @@ class NearDupStore:
                     ["band_id", "bkey"],
                 )
                 .filter(F.col("id") != F.col("base_id"))
-                .select(F.col("id").alias("new_id"), "base_id")
+                .select(F.col("id").alias("new_id"), "base_id", "band_id")
             )
             if verify == "estimate":
-                agree = cand.groupBy("new_id", "base_id").agg(
+                # distinct bands, not raw match rows: a resurrected
+                # docID's bands exist in two unit dirs
+                agree = cand.distinct().groupBy("new_id", "base_id").agg(
                     (F.count(F.lit(1)) / float(self.bands)).alias("jaccard")
                 )
                 return agree.filter(F.col("jaccard") >= threshold)
-            cand = cand.distinct()
+            cand = cand.drop("band_id").distinct()
             base_sh = self._read("shingles")
             if base_sh is None:
                 raise ValueError(
@@ -360,8 +442,13 @@ class NearDupStore:
             # verify ONLY candidates: store shingles shrink to candidate
             # base ids BEFORE touching the delta's shingles
             cand_base = cand.select(F.col("base_id").alias("id")).distinct()
-            base_sh = base_sh.join(cand_base, "id", "left_semi").select(
-                F.col("id").alias("base_id"), "sh"
+            # distinct AFTER the candidate restriction: a resurrected
+            # docID (forgotten then re-registered) has signature rows in
+            # two unit dirs — duplicates would double-count n_inter/nb
+            base_sh = (
+                base_sh.join(cand_base, "id", "left_semi")
+                .select(F.col("id").alias("base_id"), "sh")
+                .distinct()
             )
             new_sh = sh_new.select(
                 F.col("id").alias("new_id"), F.xxhash64("shingle").alias("sh")

@@ -262,3 +262,99 @@ def test_gate_replay_after_partial_commit_is_idempotent(spark, store):
     again = {int(r["docID"]) for r in
              store.gate(batch, "replayed", threshold=0.4).collect()}
     assert again == first
+
+
+def test_forget_unblocks_deleted_docs(spark, store):
+    """forget(): probes stop flagging new content against a deleted
+    doc's signatures immediately; other stored docs still gate."""
+    delta = _docs(spark, DELTA_ROWS)
+    before = {
+        (int(r["new_id"]), int(r["base_id"]))
+        for r in store.probe(delta, threshold=0.5).collect()
+    }
+    assert (10, 0) in before and (11, 0) in before
+    n = store.forget(spark.createDataFrame([(0,)], "docID long"))
+    assert n == 1
+    after = {
+        (int(r["new_id"]), int(r["base_id"]))
+        for r in store.probe(delta, threshold=0.5).collect()
+    }
+    assert not {p for p in after if p[1] == 0}
+    # a near-dup of a LIVE stored doc still gates
+    live = _docs(spark, [(40, BASE_ROWS[1][1].replace("totally", "fully"))])
+    hits = store.probe(live, threshold=0.5).collect()
+    assert {int(r["base_id"]) for r in hits} == {1}
+
+
+def test_forget_then_readd_restores_gating(spark, store):
+    """Resurrection parity: re-registering a forgotten docID (via
+    add/gate) clears its forget entry — near-dups of the re-ingested
+    content are flagged again."""
+    store.forget(spark.createDataFrame([(0,)], "docID long"))
+    surv = store.gate(
+        _docs(spark, [(0, BASE_TEXT)]), "readd", threshold=0.5
+    )
+    # the re-add itself must NOT be gated by its own dead copy
+    assert {int(r["docID"]) for r in surv.collect()} == {0}
+    assert int((store._forgotten_info() or {}).get("n", 0)) == 0
+    hits = store.probe(
+        _docs(spark, [(30, BASE_TEXT.replace("lazy", "busy"))]),
+        threshold=0.5,
+    ).collect()
+    assert (30, 0) in {(int(r["new_id"]), int(r["base_id"])) for r in hits}
+
+
+def test_fold_reclaims_forgotten_rows(spark, store):
+    """fold() after forget(): the forgotten doc's band/shingle rows are
+    physically gone from the consolidated dirs and the forget set
+    clears; live docs' gating is unchanged."""
+    store.forget(spark.createDataFrame([(0,)], "docID long"))
+    fid = store.fold(target_files=2)
+    assert fid == 0
+    assert int((store._forgotten_info() or {}).get("n", 0)) == 0
+    for sub in ("bands", "shingles"):
+        ids = {
+            int(r["id"])
+            for r in spark.read.parquet(
+                f"{store.root}/{sub}/fold={fid}"
+            ).select("id").distinct().collect()
+        }
+        assert 0 not in ids and {1, 2} <= ids
+    got = store.probe(_docs(spark, DELTA_ROWS), threshold=0.5).collect()
+    assert not {r for r in got if int(r["base_id"]) == 0}
+    live = _docs(spark, [(41, BASE_ROWS[2][1].replace("another", "some"))])
+    assert {
+        int(r["base_id"])
+        for r in store.probe(live, threshold=0.5).collect()
+    } == {2}
+
+
+def test_builder_delete_forgets_in_store(spark, tmp_path):
+    """IndexBuilder.delete_matching(neardup_store=...) forgets the
+    victims' signatures: a later ingest of near-dup content passes the
+    gate instead of being blocked by a deleted doc."""
+    from docinsight_spark.index.builder import IndexBuilder
+
+    d = str(tmp_path / "idxf")
+    store = NearDupStore(spark, f"{d}/neardup", n=2, n_hashes=12, bands=6)
+    b = IndexBuilder(spark, d, n_buckets=4)
+    base = make_corpus(spark, 40, seed=31, partitions=2)
+    b.add_run(base, "r0", neardup_store=store)
+    b.merge_all(fanin=2)
+    b.finalize()
+
+    victim_repo = base.limit(1).collect()[0]["repo"]
+    did = b.delete_matching(
+        F.col("repo") == victim_repo, neardup_store=store
+    )
+    assert did is not None
+    assert store.forgotten_ids() is not None
+
+    # near-dup of the DELETED doc now passes the near-dup gate
+    edited = base.filter(F.col("repo") == victim_repo).select(
+        F.concat(F.col("repo"), F.lit("-v2")).alias("repo"),
+        "path", "commit", "lang",
+        F.regexp_replace("content", "int ", "long ").alias("content"),
+    )
+    b.add_run(edited, "r1", neardup_store=store, neardup_threshold=0.5)
+    assert b._manifest("run-r1")["docs"] == edited.count()
