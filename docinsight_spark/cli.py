@@ -44,7 +44,7 @@ def cmd_build(args) -> int:
     corpus = read_corpus(spark, args.corpus)
     b = IndexBuilder(
         spark, args.index, n_buckets=args.buckets, n_subs=args.subs,
-        code_aware=not args.simple_tokens,
+        code_aware=not args.simple_tokens, positions=args.positions,
     )
     b.build(corpus, n_runs=args.runs, fanin=args.fanin)
     print(json.dumps({"status": "built", "meta": b.meta(),
@@ -71,7 +71,7 @@ def cmd_ingest(args) -> int:
     else:
         b = IndexBuilder(
             spark, args.index, n_buckets=args.buckets, n_subs=args.subs,
-            code_aware=not args.simple_tokens,
+            code_aware=not args.simple_tokens, positions=args.positions,
         )
     nds = None
     if args.neardup_store:
@@ -177,11 +177,28 @@ def cmd_fsck(args) -> int:
 
 
 def cmd_query(args) -> int:
-    from docinsight_spark.index.wand import wand_search
-
     spark = _spark("docinsight_query")
     queries = spark.read.parquet(args.queries)
-    res = wand_search(spark, args.index, queries, k=args.k)
+    mode = getattr(args, "mode", "or")
+    if mode == "phrase":
+        from docinsight_spark.index.phrase import phrase_search
+
+        res = phrase_search(spark, args.index, queries, k=args.k)
+    elif mode == "prefix":
+        from docinsight_spark.index.wand import prefix_search
+
+        prefixes = [
+            (int(r["query_id"]), r["query_text"])
+            for r in queries.select("query_id", "query_text").collect()
+        ]
+        res = prefix_search(
+            spark, args.index, prefixes, k=args.k,
+            max_expansions=args.max_expansions,
+        )
+    else:
+        from docinsight_spark.index.wand import wand_search
+
+        res = wand_search(spark, args.index, queries, k=args.k)
     if args.out:
         res.write.mode("overwrite").parquet(args.out)
         print(json.dumps({"status": "written", "out": args.out}))
@@ -250,6 +267,8 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--buckets", type=int, default=32)
     b.add_argument("--subs", type=int, default=2)
     b.add_argument("--simple-tokens", action="store_true")
+    b.add_argument("--positions", action="store_true",
+                   help="store token positions (enables `query --mode phrase`)")
     b.set_defaults(fn=cmd_build)
 
     i = sub.add_parser(
@@ -262,6 +281,9 @@ def main(argv: list[str] | None = None) -> int:
     i.add_argument("--buckets", type=int, default=32)
     i.add_argument("--subs", type=int, default=2)
     i.add_argument("--simple-tokens", action="store_true")
+    i.add_argument("--positions", action="store_true",
+                   help="store token positions (pre-meta runs only; a "
+                        "finalized index supplies its own setting)")
     i.add_argument("--no-refresh", action="store_true",
                    help="only record the run; fold later")
     i.add_argument(
@@ -325,6 +347,12 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--index", required=True)
     q.add_argument("--queries", required=True, help="parquet with query_id, query_text")
     q.add_argument("--k", type=int, default=10)
+    q.add_argument("--mode", choices=["or", "phrase", "prefix"], default="or",
+                   help="or: BM25 bag-of-words (WAND); phrase: exact "
+                        "adjacency (needs a positions=True index); prefix: "
+                        "wildcard `pre*` dictionary expansion")
+    q.add_argument("--max-expansions", type=int, default=16,
+                   help="prefix mode: expansion cap per prefix (highest df)")
     q.add_argument("--out")
     q.set_defaults(fn=cmd_query)
 

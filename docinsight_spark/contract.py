@@ -1563,6 +1563,304 @@ def wand_topk_resurrected(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Exact PHRASE top-k over positional postings (round 5).  The index is
+# built with positions=True (term token-offsets ride the merged
+# postings; the WAND segments never carry them) and
+# index.phrase.phrase_search intersects offsets: a phrase occurrence is
+# a (doc, start) hit by EVERY phrase offset, tf = occurrence count,
+# df = matching docs, BM25 over the index's live N/avgdl.  The oracle
+# rebuilds the token stream WITH positions in SQL (DuckDB zipped
+# unnest) and replays the same base-offset intersection — adjacency
+# semantics are defined on the token stream on BOTH engines, so
+# overlapping/self-overlapping phrases agree by construction.
+# Reference analog: matched-span evidence in the report
+# (/root/reference/analysis/report_builder.py).
+# ---------------------------------------------------------------------------
+
+PHRASE_QUERIES: list[tuple[int, str]] = [
+    (0, "part filter"),
+    (1, "merge group"),
+    (2, "big order scan"),
+    (3, "table hash"),
+]
+_PHRASE_OVERFETCH = 200  # > any phrase's df at the gate SF: no rank boundary
+
+
+def _phrase_oracle_sql(
+    phrases: list[tuple[int, str]] = PHRASE_QUERIES, k: int = BM25_K
+) -> str:
+    offs = [
+        (q, i, t)
+        for q, text in phrases
+        for i, t in enumerate(text.lower().split())
+    ]
+    vals = ", ".join(f"({q}, {i}, '{t}')" for q, i, t in offs)
+    return f"""
+WITH ptoks AS (
+  SELECT doc_id, unnest(toks) AS term, unnest(range(len(toks)))::BIGINT AS pos
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+    FROM documents
+  )
+),
+offs(query_id, off, term) AS (VALUES {vals}),
+noff AS (SELECT query_id, count(*)::BIGINT AS n FROM offs GROUP BY query_id),
+mt AS (
+  SELECT o.query_id, t.doc_id, t.pos - o.off AS base, o.off
+  FROM ptoks t JOIN offs o USING (term)
+),
+occ AS (
+  SELECT m.query_id, m.doc_id, m.base
+  FROM mt m JOIN noff n USING (query_id)
+  GROUP BY m.query_id, m.doc_id, m.base
+  HAVING count(DISTINCT m.off) = max(n.n)
+),
+ptf AS (
+  SELECT query_id, doc_id, count(*)::BIGINT AS tf FROM occ GROUP BY 1, 2
+),
+pdf AS (SELECT query_id, count(*)::BIGINT AS df FROM ptf GROUP BY 1),
+dstats AS (SELECT doc_id, count(*)::BIGINT AS dl FROM ptoks GROUP BY doc_id),
+c AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dstats),
+scored AS (
+  SELECT p.query_id::BIGINT AS query_id, p.doc_id,
+         ln((c.n - f.df + 0.5) / (f.df + 0.5) + 1.0)
+         * p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / c.avgdl)) AS s
+  FROM ptf p
+  JOIN pdf f USING (query_id)
+  JOIN dstats d USING (doc_id)
+  CROSS JOIN c
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, round(s, 4) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 4) DESC, doc_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+@_register("phrase_topk", _phrase_oracle_sql())
+def phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase top-10 end-to-end: positional build → offset
+    intersection → BM25, rank after 4-dp rounding on both sides."""
+    import tempfile
+
+    from docinsight_spark.index.builder import IndexBuilder
+    from docinsight_spark.index.phrase import phrase_search
+
+    docs = _docs(spark, sf_dir).select(
+        F.lit("sf/docs").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id")).alias("path"),
+        F.lit("0000").alias("commit"),
+        F.lit("en").alias("lang"),
+        F.col("text").alias("content"),
+    )
+    idx = tempfile.mkdtemp(prefix="contract_phrase_")
+    b = IndexBuilder(spark, idx, n_buckets=8, code_aware=False, positions=True)
+    b.build(docs)
+    res = phrase_search(spark, idx, PHRASE_QUERIES, k=_PHRASE_OVERFETCH)
+    dim = b.docs_dim().select(
+        "docID", F.expr("CAST(substr(path, 5) AS LONG)").alias("doc_id")
+    )
+    scored = res.join(dim, "docID").select(
+        "query_id", "doc_id", F.round("score", 4).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_K)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conjunctive (boolean AND) BM25 top-k (round 5): only docs containing
+# EVERY query term score.  Engine: the same broadcast probe join as
+# bm25_topk — the hit count rides the existing (query, doc) aggregation
+# (postings are unique on (term, docID)) and the require_all filter is
+# a broadcast-joined per-query constant; zero extra passes or shuffles.
+# Reference analog: multi-term substring search must match all terms in
+# the reference CLI's AND mode (docinsight_cli.py search path).
+# ---------------------------------------------------------------------------
+
+_AND_QUERY_TERMS: list[tuple[int, str]] = [
+    (0, "spark"), (0, "join"), (0, "table"),
+    (1, "window"), (1, "batch"),
+    (2, "merge"), (2, "stream"), (2, "column"),
+    (3, "scan"), (3, "sort"), (3, "filter"),
+]
+
+
+def _bm25_and_oracle_sql(
+    query_terms: list[tuple[int, str]], k: int = BM25_K
+) -> str:
+    vals = ", ".join(f"({q}, '{t}')" for q, t in query_terms)
+    return f"""
+WITH {_SQL_POSTINGS},
+dstats AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
+tstats AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY term),
+c AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dstats),
+qterms(query_id, term) AS (VALUES {vals}),
+nq AS (SELECT query_id, count(*)::BIGINT AS n FROM qterms GROUP BY query_id),
+scored AS (
+  SELECT q.query_id::BIGINT AS query_id, p.doc_id,
+         sum(
+           ln((c.n - t.df + 0.5) / (t.df + 0.5) + 1.0)
+           * p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / c.avgdl))
+         ) AS s,
+         count(*)::BIGINT AS hits
+  FROM qterms q
+  JOIN postings p USING (term)
+  JOIN tstats t USING (term)
+  JOIN dstats d USING (doc_id)
+  CROSS JOIN c
+  GROUP BY 1, 2
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT s.query_id, s.doc_id, round(s.s, 4) AS score,
+         row_number() OVER (PARTITION BY s.query_id
+                            ORDER BY round(s.s, 4) DESC, s.doc_id) AS rank
+  FROM scored s JOIN nq USING (query_id)
+  WHERE s.hits = nq.n
+) WHERE rank <= {k}
+"""
+
+
+@_register("bm25_and_topk", _bm25_and_oracle_sql(_AND_QUERY_TERMS))
+def bm25_and_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive BM25 top-10: every query term required."""
+    postings = postings_tf(spark, sf_dir).cache()
+    dstats = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    tstats = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    crow = dstats.agg(
+        F.count(F.lit(1)).cast("double").alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    qterms = spark.createDataFrame(_AND_QUERY_TERMS, "query_id long, term string")
+    nq = qterms.groupBy("query_id").agg(F.count(F.lit(1)).alias("_nq"))
+    scored = (
+        postings.join(F.broadcast(qterms.join(tstats, "term")), "term")
+        .join(dstats, "doc_id")
+        .withColumn(
+            "contrib",
+            bm25_score_col(F.col("tf"), F.col("df"), F.col("dl"),
+                           float(crow["n"]), float(crow["avgdl"])),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.round(F.sum("contrib"), 4).alias("score"),
+            F.count(F.lit(1)).alias("_hits"),
+        )
+        .join(F.broadcast(nq), "query_id")
+        .filter(F.col("_hits") == F.col("_nq"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_K)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Prefix (wildcard `pre*`) top-k (round 5): each prefix expands against
+# the index's term dictionary — capped to the max_expansions highest-df
+# terms (ties → term asc), the Lucene MultiTermQuery rewrite — then
+# scores as an OR query (Σ per-term BM25, each term's own df) through
+# the block-max fast path.  The expansion runs as a pushed-down
+# StringStartsWith range scan on the term-sorted term_stats parquet;
+# the oracle replays the same cap ordering in SQL.
+# ---------------------------------------------------------------------------
+
+PREFIX_QUERIES: list[tuple[int, str]] = [
+    (0, "s"),
+    (1, "fi"),
+    (2, "ta"),
+    (3, "wi"),
+]
+_PREFIX_MAX_EXP = 4
+_PREFIX_OVERFETCH = 50
+
+
+def _prefix_oracle_sql(
+    prefixes: list[tuple[int, str]] = PREFIX_QUERIES,
+    k: int = BM25_K,
+    max_exp: int = _PREFIX_MAX_EXP,
+) -> str:
+    vals = ", ".join(f"({q}, '{p}')" for q, p in prefixes)
+    return f"""
+WITH {_SQL_POSTINGS},
+dstats AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
+tstats AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY term),
+c AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dstats),
+pref(query_id, prefix) AS (VALUES {vals}),
+exp AS (
+  SELECT query_id, term, df FROM (
+    SELECT p.query_id, t.term, t.df,
+           row_number() OVER (PARTITION BY p.query_id
+                              ORDER BY t.df DESC, t.term) AS r
+    FROM pref p JOIN tstats t ON t.term LIKE p.prefix || '%'
+  ) WHERE r <= {max_exp}
+),
+scored AS (
+  SELECT e.query_id::BIGINT AS query_id, po.doc_id,
+         sum(
+           ln((c.n - e.df + 0.5) / (e.df + 0.5) + 1.0)
+           * po.tf * 2.2 / (po.tf + 1.2 * (0.25 + 0.75 * d.dl / c.avgdl))
+         ) AS s
+  FROM exp e
+  JOIN postings po USING (term)
+  JOIN dstats d USING (doc_id)
+  CROSS JOIN c
+  GROUP BY 1, 2
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, round(s, 4) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 4) DESC, doc_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+@_register("prefix_topk", _prefix_oracle_sql())
+def prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard top-10 end-to-end: dictionary expansion (pushed-down
+    prefix range scan, df-capped) → block-max OR retrieval."""
+    import tempfile
+
+    from docinsight_spark.index.builder import IndexBuilder
+    from docinsight_spark.index.wand import prefix_search
+
+    docs = _docs(spark, sf_dir).select(
+        F.lit("sf/docs").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id")).alias("path"),
+        F.lit("0000").alias("commit"),
+        F.lit("en").alias("lang"),
+        F.col("text").alias("content"),
+    )
+    idx = tempfile.mkdtemp(prefix="contract_prefix_")
+    b = IndexBuilder(spark, idx, n_buckets=8, code_aware=False)
+    b.build(docs)
+    res = prefix_search(
+        spark, idx, PREFIX_QUERIES, k=_PREFIX_OVERFETCH,
+        max_expansions=_PREFIX_MAX_EXP,
+    )
+    dim = b.docs_dim().select(
+        "docID", F.expr("CAST(substr(path, 5) AS LONG)").alias("doc_id")
+    )
+    scored = res.join(dim, "docID").select(
+        "query_id", "doc_id", F.round("score", 4).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_K)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Text → embedding featurizer under the oracle gate (round 3).  The
 # production featurizer (operators/embedder.featurize_text) is a
 # shuffle-free crc32 mapInPandas kernel; this entry runs the same

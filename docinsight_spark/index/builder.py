@@ -346,6 +346,7 @@ class IndexBuilder:
         k1: float = BM25_K1,
         b: float = BM25_B,
         code_aware: bool = True,
+        positions: bool = False,
         broadcast_seen_max: int = 2_000_000,
         lease_ttl_sec: float = 3600.0,
     ):
@@ -384,6 +385,10 @@ class IndexBuilder:
         self.block_size = block_size
         self.k1, self.b = k1, b
         self.code_aware = code_aware
+        # positions=True stores each term's token offsets alongside the
+        # run/merged postings (exact phrase search reads them with a
+        # term IN-list pushdown; the WAND segments never carry them)
+        self.positions = positions
         # above this many already-indexed docIDs the cross-run dedup gate
         # switches from a broadcast anti-join to a Bloom pre-gate + plain
         # anti-join (the seen side is never broadcast whole)
@@ -407,6 +412,7 @@ class IndexBuilder:
             k1=float(meta.get("k1", BM25_K1)),
             b=float(meta.get("b", BM25_B)),
             code_aware=bool(meta.get("code_aware", True)),
+            positions=bool(meta.get("positions", False)),
         )
         kw.update(overrides)
         return cls(spark, index_dir, **kw)
@@ -430,6 +436,9 @@ class IndexBuilder:
             "n_subs": self.n_subs,
             "block_size": self.block_size,
             "code_aware": self.code_aware,
+            # a delta ingested without positions would leave phrase
+            # search silently blind to those docs
+            "positions": self.positions,
             # BM25 constants too: a delta encoded at different k1/b
             # stores block maxima that under-bound query-time scores —
             # silently wrong pruning, the worst failure class
@@ -444,6 +453,7 @@ class IndexBuilder:
             "n_subs": int(meta.get("n_subs", 1)),
             "block_size": int(meta.get("block_size", BLOCK_SIZE)),
             "code_aware": bool(meta.get("code_aware", True)),
+            "positions": bool(meta.get("positions", False)),
             "k1": float(meta.get("k1", BM25_K1)),
             "b": float(meta.get("b", BM25_B)),
         }
@@ -462,6 +472,7 @@ class IndexBuilder:
             "n_subs": self.n_subs,
             "block_size": self.block_size,
             "code_aware": self.code_aware,
+            "positions": self.positions,
             "k1": self.k1,
             "b": self.b,
         }
@@ -746,7 +757,13 @@ class IndexBuilder:
             for lg in _MASKS
         ]
         try:
-            postings = self._sharded(build_postings(docs, code_aware=self.code_aware))
+            postings = self._sharded(
+                build_postings(
+                    docs,
+                    code_aware=self.code_aware,
+                    with_positions=self.positions,
+                )
+            )
             # run postings are write-once-read-once intermediates (consumed by
             # the next merge wave, then dead): cheap snappy beats the session
             # zstd here — encode CPU was the hottest JVM stage of the build.
@@ -1119,6 +1136,7 @@ class IndexBuilder:
             "k1": self.k1,
             "b": self.b,
             "code_aware": self.code_aware,
+            "positions": self.positions,
             "query_lang": self._majority_lang(set(base_runs) or None),
             "version": 4,
             # the base segment set's encode-time stats: generations added

@@ -1,0 +1,236 @@
+"""Exact phrase search over positional postings.
+
+The reference surfaces matched *spans* of contiguous text as evidence
+(``/root/reference/analysis/report_builder.py`` renders per-sentence
+matches); the fulltext-index analog is exact phrase retrieval: a query
+``"merge group"`` matches only documents where those tokens are
+ADJACENT in the token stream, ranked by BM25 with the phrase itself as
+the unit (tf = exact occurrence count, df = number of matching docs).
+
+The positional artifact is the merged postings parquet itself: when an
+index is built with ``IndexBuilder(positions=True)``, every
+(term, docID) row carries ``positions array<int>`` — the term's token
+offsets — through the run → merge → generation → compaction life-cycle
+(the column simply rides the existing shard-sorted layout; the WAND
+segment encoder prunes it).  A phrase query therefore needs no second
+index structure:
+
+1. scan each live root's merged postings with ``term IN (phrase
+   terms)`` — the same row-group-pruned read the segment encoder's
+   input enjoys (rows bounded by Σ df(tᵢ), never the corpus);
+2. a cheap column-pruned pre-pass keeps only docs containing ALL the
+   phrase's terms (positions bytes are never read for partial
+   matches);
+3. tombstoned copies are excluded (docID, root)-scoped, exactly like
+   the WAND kernel — deletes and resurrections need no special casing;
+4. adjacency is pure column algebra: explode positions, normalize each
+   offset ``pos - off`` to the phrase's would-be start, and a phrase
+   occurrence is a (doc, start) group hit by EVERY phrase offset —
+   two hash aggregations, partial-agg friendly, no UDF;
+5. BM25 over phrase tf/df with the index's live N/avgdl (delete-
+   corrected in ``_meta.json``), round-then-rank top-k.
+
+Scale notes: the only corpus-wide touch is the doc-length join (a
+2-column scan of ``doc_stats``); everything else is bounded by the
+phrase terms' posting sizes.  Skew: a phrase containing a hot term
+explodes only the positions of docs that also contain the phrase's
+rarest term (step 2), which is what keeps ``"the <rare>"`` queries
+cheap.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from docinsight_spark.functions.bm25 import bm25_score_col
+from docinsight_spark.index import fsio
+from docinsight_spark.index.builder import (
+    load_tombstone_pairs,
+    read_manifests,
+    _union_frames,
+)
+
+# Java-regex \s parity with the build/WAND driver paths (wand.py:_query_term_map)
+_JAVA_WS = re.compile("[ \t\n\x0b\f\r]+")
+
+
+def _phrase_offsets(
+    rows: list[tuple[int, str]], code_aware: bool, lang: str
+) -> list[tuple[int, int, str]]:
+    """Tokenize phrases driver-side → (query_id, offset, term) rows,
+    order and duplicates preserved (a phrase may repeat a term).  Phrase
+    batches are small by nature (human queries); the distributed-wave
+    machinery WAND needs for 10^5-query batches is not warranted here."""
+    if code_aware:
+        from docinsight_spark.functions.tokenizer import tokenize_code_pandas
+
+        toks = tokenize_code_pandas(
+            pd.Series([t for _, t in rows], dtype=object),
+            pd.Series([lang] * len(rows), dtype=object),
+        )
+    else:
+        toks = [
+            [t for t in _JAVA_WS.split((txt or "").lower()) if t]
+            for _, txt in rows
+        ]
+    out = []
+    for (qid, _), ts in zip(rows, toks):
+        out.extend((int(qid), off, term) for off, term in enumerate(ts))
+    return out
+
+
+def merged_roots(index_dir: str, meta: dict) -> list[tuple[str, str]]:
+    """(root_id, merged_postings_dir) for the base set + every committed
+    generation — the positional artifact's physical homes.  Loud when a
+    root has no merged source (positions would be silently blind)."""
+    final = [m for m in read_manifests(index_dir) if m["unit"] == "merged-final"]
+    if not final:
+        raise ValueError(f"no merged-final manifest under {index_dir}")
+    out = [("base", f"{final[0]['source']}/postings")]
+    for g in meta.get("generations", []):
+        src = g.get("merged_source")
+        if not src:
+            raise ValueError(
+                f"generation {g['id']} records no merged_source; phrase "
+                "search cannot see its documents"
+            )
+        out.append((g["id"], f"{src}/postings"))
+    return out
+
+
+def phrase_search(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame | list[tuple[int, str]],
+    k: int = 10,
+    code_aware: bool | None = None,
+) -> DataFrame:
+    """(query_id, rank, docID, score) — exact phrase top-k.
+
+    ``queries``: (query_id, query_text) rows; each text is one phrase.
+    Requires an index built with ``positions=True``."""
+    meta = fsio.read_json(f"{index_dir}/_meta.json")
+    if not meta.get("positions", False):
+        raise ValueError(
+            f"index at {index_dir} was built without positions=True; "
+            "phrase search needs positional postings"
+        )
+    if code_aware is None:
+        code_aware = bool(meta.get("code_aware", True))
+    qlang = str(meta.get("query_lang", "java"))
+    if isinstance(queries, DataFrame):
+        rows = [
+            (int(r["query_id"]), r["query_text"])
+            for r in queries.select("query_id", "query_text").collect()
+        ]
+    else:
+        rows = [(int(q), t) for q, t in queries]
+    offsets = _phrase_offsets(rows, code_aware, qlang)
+    empty = spark.createDataFrame(
+        [], "query_id long, rank int, docID long, score double"
+    )
+    if not offsets:
+        return empty
+    all_terms = sorted({t for _, _, t in offsets})
+    offs = spark.createDataFrame(offsets, "query_id long, off int, term string")
+    noff = spark.createDataFrame(
+        [
+            (qid, sum(1 for q, _, _ in offsets if q == qid))
+            for qid in sorted({q for q, _, _ in offsets})
+        ],
+        "query_id long, n int",
+    )
+
+    roots = merged_roots(index_dir, meta)
+
+    def scan(rid: str, src: str, cols: list[str]) -> DataFrame:
+        return (
+            spark.read.parquet(src)
+            .filter(F.col("term").isin(all_terms))
+            .select(*cols)
+            .withColumn("_root", F.lit(rid))
+        )
+
+    # pre-pass WITHOUT the positions column (column-pruned scan): docs
+    # containing every offset's term — partial matches never pay the
+    # positions bytes.  Tombstoned copies may survive into this superset
+    # harmlessly; the positions branch applies the exact exclusion.
+    lite = _union_frames([scan(r, s, ["term", "docID"]) for r, s in roots])
+    cand = (
+        lite.join(F.broadcast(offs), "term")
+        .groupBy("query_id", "docID")
+        .agg(F.count_distinct("off").alias("c"))
+        .join(F.broadcast(noff), "query_id")
+        .filter(F.col("c") == F.col("n"))
+        .select("query_id", "docID")
+    )
+
+    heavy = _union_frames(
+        [scan(r, s, ["term", "docID", "positions"]) for r, s in roots]
+    )
+    tomb = load_tombstone_pairs(spark, index_dir, meta)
+    if tomb is not None:
+        heavy = heavy.join(
+            F.broadcast(tomb.withColumnRenamed("root", "_root")),
+            ["docID", "_root"],
+            "left_anti",
+        )
+    hits = (
+        heavy.join(F.broadcast(offs), "term")
+        .join(cand, ["query_id", "docID"], "left_semi")
+        .select(
+            "query_id",
+            "off",
+            "docID",
+            "_root",
+            F.explode("positions").alias("pos"),
+        )
+        .withColumn("base", F.col("pos") - F.col("off"))
+    )
+    occ = (
+        hits.groupBy("query_id", "docID", "_root", "base")
+        .agg(F.count_distinct("off").alias("c"))
+        .join(F.broadcast(noff), "query_id")
+        .filter(F.col("c") == F.col("n"))
+    )
+    ptf = occ.groupBy("query_id", "docID", "_root").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    pdf = ptf.groupBy("query_id").agg(F.count(F.lit(1)).alias("df"))
+
+    stats_dirs = [("base", index_dir)] + [
+        (g["id"], f"{index_dir}/generations/{g['id']}")
+        for g in meta.get("generations", [])
+    ]
+    ds = _union_frames(
+        [
+            spark.read.parquet(f"{rdir}/doc_stats")
+            .select("docID", "dl")
+            .withColumn("_root", F.lit(rid))
+            for rid, rdir in stats_dirs
+        ]
+    )
+    n_docs, avgdl = int(meta["n_docs"]), float(meta["avgdl"])
+    k1, b = float(meta["k1"]), float(meta["b"])
+    scored = (
+        ptf.join(F.broadcast(pdf), "query_id")
+        .join(ds, ["docID", "_root"])
+        .withColumn(
+            "score",
+            bm25_score_col(
+                F.col("tf"), F.col("df"), F.col("dl"), n_docs, avgdl, k1, b
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("score", 4).desc(), F.col("docID")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "docID", "score")
+    )

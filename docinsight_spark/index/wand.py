@@ -451,12 +451,18 @@ def wand_search(
     driver_tokenize_max: int | None = None,
     query_chunk_size: int | None = None,
     stats_out: dict | None = None,
+    _qmap: dict[int, list[str]] | None = None,
 ) -> DataFrame:
     """(query_id, rank, docID, score) — fast path over the segment index.
 
     ``stats_out`` (optional dict) receives wave telemetry on the
     distributed-batch path: number of waves and the max driver-resident
-    (query_id, term) pair count per wave."""
+    (query_id, term) pair count per wave.
+
+    ``_qmap`` — a prebuilt {query_id: [terms]} of ALREADY-NORMALIZED
+    index terms, bypassing query tokenization entirely (``queries`` may
+    then be None).  Callers that derive terms from the index's own
+    vocabulary use this (:func:`prefix_search`)."""
     if driver_tokenize_max is None:
         driver_tokenize_max = DRIVER_TOKENIZE_MAX
     if query_chunk_size is None:
@@ -477,7 +483,11 @@ def wand_search(
     empty = spark.createDataFrame(
         [], "query_id long, rank int, docID long, score double"
     )
-    qmap = _query_term_map(queries, code_aware, driver_tokenize_max, qlang)
+    qmap = (
+        {int(q): sorted(set(ts)) for q, ts in _qmap.items()}
+        if _qmap is not None
+        else _query_term_map(queries, code_aware, driver_tokenize_max, qlang)
+    )
     if qmap is not None and not any(qmap.values()):
         return empty
     n_docs, avgdl = int(meta["n_docs"]), float(meta["avgdl"])
@@ -691,4 +701,83 @@ def _wave_local_topk(
     # would add a sampling job per search call (query fixed cost).
     return seg.repartition(n_shards, "doc_bucket", "doc_sub").mapInPandas(
         run, schema="query_id long, docID long, score double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Prefix (wildcard `pre*`) retrieval: dictionary expansion → OR query
+# ---------------------------------------------------------------------------
+
+
+def expand_prefix(
+    spark: SparkSession,
+    index_dir: str,
+    prefixes: list[tuple[int, str]],
+    max_expansions: int = 16,
+    _meta: dict | None = None,
+    _tstats: DataFrame | None = None,
+) -> DataFrame:
+    """(query_id, term, df) — each prefix expanded against the index's
+    term dictionary, capped to the ``max_expansions`` highest-df terms
+    (ties → term asc): the classic wildcard-query rewrite (Lucene's
+    MultiTermQuery rewrite; reference analog: substring corpus search in
+    ``/root/reference/docinsight_cli.py``'s search path).
+
+    Plan shape: the OR-of-prefixes filter is a range predicate on the
+    term-sorted term_stats parquet (StringStartsWith pushdown prunes row
+    groups), so the dictionary scan is bounded by the matching vocab
+    slice, never the vocabulary; the per-prefix theta-join runs on the
+    SURVIVORS only (broadcast of the tiny prefix table).  Terms whose
+    delete-corrected df reached 0 are excluded."""
+    meta = _meta or _load_meta(index_dir)
+    pref = [(int(q), (p or "").lower()) for q, p in prefixes]
+    pref = [(q, p) for q, p in pref if p]
+    if not pref:
+        return spark.createDataFrame([], "query_id long, term string, df long")
+    ts = _tstats if _tstats is not None else load_term_stats(
+        spark, index_dir, meta
+    )
+    cond = None
+    for p in sorted({p for _, p in pref}):
+        c = F.col("term").startswith(p)
+        cond = c if cond is None else (cond | c)
+    pdf = spark.createDataFrame(pref, "query_id long, prefix string")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("df").desc(), F.col("term")
+    )
+    return (
+        ts.filter(cond)
+        .filter(F.col("df") > 0)
+        .join(F.broadcast(pdf), F.col("term").startswith(F.col("prefix")))
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= max_expansions)
+        .select("query_id", "term", "df")
+    )
+
+
+def prefix_search(
+    spark: SparkSession,
+    index_dir: str,
+    prefixes: list[tuple[int, str]],
+    k: int = 10,
+    max_expansions: int = 16,
+) -> DataFrame:
+    """(query_id, rank, docID, score) — top-k BM25 over each prefix's
+    expansion set (score = Σ per-term BM25 over the expanded terms, each
+    with its own df), via the block-max fast path.
+
+    The expansion is collected driver-side — bounded by
+    ``len(prefixes) × max_expansions`` rows by construction — and fed to
+    :func:`wand_search` as a prebuilt term map (no re-tokenization)."""
+    meta = _load_meta(index_dir)
+    tstats = load_term_stats(spark, index_dir, meta)
+    exp = expand_prefix(
+        spark, index_dir, prefixes, max_expansions,
+        _meta=meta, _tstats=tstats,
+    ).collect()
+    qmap: dict[int, list[str]] = {int(q): [] for q, _ in prefixes}
+    for r in exp:
+        qmap[int(r["query_id"])].append(r["term"])
+    return wand_search(
+        spark, index_dir, None, k=k, _meta=meta, _tstats=tstats, _qmap=qmap
     )

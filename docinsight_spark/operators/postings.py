@@ -61,8 +61,10 @@ def tokenized(corpus: DataFrame, code_aware: bool = True) -> DataFrame:
     return df.withColumn("tokens", tok)
 
 
-def build_postings(corpus: DataFrame, code_aware: bool = True) -> DataFrame:
-    """(term, docID, tf) — the engine's core derived relation.
+def build_postings(
+    corpus: DataFrame, code_aware: bool = True, with_positions: bool = False
+) -> DataFrame:
+    """(term, docID, tf[, positions]) — the engine's core derived relation.
 
     The code-aware path emits finished (term, docID, tf) triples straight
     from the Arrow kernel: every document sits wholly inside one batch,
@@ -75,14 +77,35 @@ def build_postings(corpus: DataFrame, code_aware: bool = True) -> DataFrame:
     explode → groupBy(term, docID).count() form used by the SQL-parity
     oracles; its composite key is fine-grained, so Catalyst's partial
     aggregation absorbs hot-term skew.
+
+    ``with_positions=True`` adds ``positions array<int>`` — the term's
+    ascending token offsets within the document's token stream — the
+    artifact exact phrase search intersects
+    (:mod:`docinsight_spark.index.phrase`).  Positions never enter the
+    WAND segments (column-pruned at encode); they ride the merged
+    parquet, where a phrase query's term IN-list prunes row groups the
+    same way the segment encoder's scan does.
     """
     df = corpus if "docID" in corpus.columns else with_doc_id(corpus)
     if not code_aware:
         toks = tokenized(df, code_aware=False)
+        if not with_positions:
+            return (
+                toks.select("docID", F.explode("tokens").alias("term"))
+                .groupBy("term", "docID")
+                .agg(F.count(F.lit(1)).alias("tf"))
+            )
         return (
-            toks.select("docID", F.explode("tokens").alias("term"))
+            toks.select(
+                "docID", F.posexplode("tokens").alias("pos", "term")
+            )
             .groupBy("term", "docID")
-            .agg(F.count(F.lit(1)).alias("tf"))
+            .agg(
+                F.count(F.lit(1)).alias("tf"),
+                F.sort_array(F.collect_list(F.col("pos").cast("int"))).alias(
+                    "positions"
+                ),
+            )
         )
 
     import numpy as np
@@ -98,17 +121,35 @@ def build_postings(corpus: DataFrame, code_aware: bool = True) -> DataFrame:
                 continue
             doc_rep = np.repeat(pdf["docID"].to_numpy(), lens)
             flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
-            tf = (
-                pd.DataFrame({"docID": doc_rep, "term": flat})
-                .groupby(["docID", "term"], sort=False)
-                .size()
-                .reset_index(name="tf")
+            if not with_positions:
+                tf = (
+                    pd.DataFrame({"docID": doc_rep, "term": flat})
+                    .groupby(["docID", "term"], sort=False)
+                    .size()
+                    .reset_index(name="tf")
+                )
+                yield tf[["term", "docID", "tf"]]
+                continue
+            # token offset within each doc's stream: one global arange
+            # minus each doc's start offset (vectorized, no per-doc loop)
+            starts = np.repeat(
+                np.concatenate(([0], np.cumsum(lens)[:-1])), lens
             )
-            yield tf[["term", "docID", "tf"]]
+            pos = (np.arange(len(flat)) - starts).astype("int32")
+            g = pd.DataFrame(
+                {"docID": doc_rep, "term": flat, "pos": pos}
+            ).groupby(["docID", "term"], sort=False)
+            tf = g.agg(
+                tf=("pos", "size"), positions=("pos", list)
+            ).reset_index()
+            # grouped rows preserve input order, so positions are already
+            # ascending within each (docID, term) group
+            yield tf[["term", "docID", "tf", "positions"]]
 
-    return df.select("docID", "lang", "content").mapInPandas(
-        kernel, schema="term string, docID long, tf long"
-    )
+    schema = "term string, docID long, tf long"
+    if with_positions:
+        schema += ", positions array<int>"
+    return df.select("docID", "lang", "content").mapInPandas(kernel, schema=schema)
 
 
 def doc_stats(postings: DataFrame) -> DataFrame:

@@ -55,6 +55,7 @@ def bm25_scores(
     stats: CorpusStats,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    require_all: bool = False,
 ) -> DataFrame:
     """(query_id, docID, score) for every candidate doc.
 
@@ -63,6 +64,14 @@ def bm25_scores(
     streams through untouched (no shuffle on the big side for the probe
     join); the only large shuffle is the final groupBy(query, doc),
     whose key space is bounded by matched postings.
+
+    ``require_all=True`` is conjunctive (boolean AND) retrieval: only
+    docs containing EVERY query term score.  Free at scale — postings
+    are unique on (term, docID), so the hit count rides the existing
+    aggregation and the filter is a broadcast-joined per-query
+    constant; no extra pass, no extra shuffle.  A query term absent
+    from the corpus matches nothing, so its query returns empty
+    (strict AND).
     """
     # Restrict term stats to query terms first — keeps the broadcast tiny.
     q_with_df = qterms.join(tstats, "term", "inner")
@@ -77,9 +86,18 @@ def bm25_scores(
             ),
         )
     )
-    return scored.groupBy("query_id", "docID").agg(
-        F.sum("contrib").alias("score")
+    agg = scored.groupBy("query_id", "docID").agg(
+        F.sum("contrib").alias("score"),
+        F.count(F.lit(1)).alias("_hits"),
     )
+    if require_all:
+        nq = qterms.groupBy("query_id").agg(F.count(F.lit(1)).alias("_nq"))
+        agg = (
+            agg.join(F.broadcast(nq), "query_id")
+            .filter(F.col("_hits") == F.col("_nq"))
+            .drop("_nq")
+        )
+    return agg.drop("_hits")
 
 
 def topk(scores: DataFrame, k: int = DEFAULT_TOP_K) -> DataFrame:
@@ -110,6 +128,7 @@ def search(
     min_score: float | None = None,
     code_aware: bool = True,
     lang: str = "java",
+    require_all: bool = False,
 ) -> DataFrame:
     """End-to-end oracle search; optionally enrich with doc metadata.
 
@@ -120,7 +139,10 @@ def search(
     Catalyst broadcasts it against the docs dimension.
     """
     qt = query_terms(queries, code_aware=code_aware, lang=lang)
-    ranked = topk(bm25_scores(qt, postings, tstats, dstats, stats), k=k)
+    ranked = topk(
+        bm25_scores(qt, postings, tstats, dstats, stats, require_all=require_all),
+        k=k,
+    )
     if min_score is not None:
         ranked = ranked.filter(F.col("score") >= F.lit(min_score))
     if docs is not None:

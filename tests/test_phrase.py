@@ -1,0 +1,259 @@
+"""Positional postings + exact phrase search: kernel parity with the
+tokenizer, a full python BM25 phrase oracle, and the index life-cycle
+(generations, deletes, resurrection, compaction) seen through phrase
+queries."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from docinsight_spark.corpus import make_corpus
+from docinsight_spark.functions.tokenizer import tokenize_code_pandas
+from docinsight_spark.index.builder import IndexBuilder
+from docinsight_spark.index.phrase import phrase_search
+from docinsight_spark.operators.postings import build_postings
+
+K1, B = 1.2, 0.75
+
+
+# ---------------------------------------------------------------------------
+# python reference oracle
+# ---------------------------------------------------------------------------
+
+
+def _doc_tokens(corpus_pdf: pd.DataFrame) -> pd.Series:
+    return tokenize_code_pandas(corpus_pdf["content"], corpus_pdf["lang"])
+
+
+def _phrase_counts(tokens: list[str], ptoks: list[str]) -> int:
+    n = len(ptoks)
+    return sum(
+        1 for i in range(len(tokens) - n + 1) if tokens[i : i + n] == ptoks
+    )
+
+
+def _oracle_scores(
+    corpus_pdf: pd.DataFrame, phrase: str, lang: str = "java"
+) -> dict[str, float]:
+    """{path: bm25 score} for every doc matching the phrase, over the
+    code-aware token stream (the engine's production tokenizer)."""
+    toks = _doc_tokens(corpus_pdf)
+    ptoks = list(
+        tokenize_code_pandas(pd.Series([phrase]), pd.Series([lang]))[0]
+    )
+    dl = toks.map(len)
+    live = dl > 0
+    n_docs = int(live.sum())
+    avgdl = float(dl[live].mean())
+    tf = toks.map(lambda ts: _phrase_counts(list(ts), ptoks))
+    hit = tf > 0
+    df = int(hit.sum())
+    if df == 0:
+        return {}
+    import math
+
+    idf = math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+    out = {}
+    for path, t, d in zip(
+        corpus_pdf["path"][hit], tf[hit], dl[hit], strict=True
+    ):
+        out[path] = idf * t * (K1 + 1) / (t + K1 * (1 - B + B * d / avgdl))
+    return out
+
+
+def _engine_scores(spark, b: IndexBuilder, idx: str, phrase: str) -> dict:
+    res = phrase_search(spark, idx, [(0, phrase)], k=10_000)
+    dim = b.docs_dim().select("docID", "path")
+    return {
+        r["path"]: r["score"]
+        for r in res.join(dim, "docID").select("path", "score").collect()
+    }
+
+
+def _pick_phrase(corpus_pdf: pd.DataFrame, doc_i: int, start: int, n: int) -> str:
+    toks = list(_doc_tokens(corpus_pdf).iloc[doc_i])
+    return " ".join(toks[start : start + n])
+
+
+def _assert_same_scores(a: dict, b: dict, atol=1e-9):
+    assert set(a) == set(b), (sorted(set(a) - set(b))[:3], sorted(set(b) - set(a))[:3])
+    for k in a:
+        assert abs(a[k] - b[k]) < atol, (k, a[k], b[k])
+
+
+# ---------------------------------------------------------------------------
+# postings-level positions parity
+# ---------------------------------------------------------------------------
+
+
+def test_kernel_positions_match_token_stream(spark, tiny_corpus):
+    sub = tiny_corpus.limit(40)
+    pdf = sub.toPandas()
+    posts = build_postings(sub, code_aware=True, with_positions=True).toPandas()
+    toks = _doc_tokens(pdf)
+    # docID is xxhash64(repo,path,commit); recover via a spark round trip
+    ids = {
+        r["path"]: r["docID"]
+        for r in build_postings(sub, code_aware=True)
+        .sparkSession.createDataFrame(pdf)
+        .withColumn("docID", F.xxhash64("repo", "path", "commit"))
+        .select("path", "docID")
+        .collect()
+    }
+    by_doc = posts.groupby("docID")
+    for path, ts in zip(pdf["path"], toks, strict=True):
+        g = by_doc.get_group(ids[path]).set_index("term")
+        expect: dict[str, list[int]] = {}
+        for i, t in enumerate(ts):
+            expect.setdefault(t, []).append(i)
+        assert set(g.index) == set(expect)
+        for t, pos in expect.items():
+            got = list(g.loc[t, "positions"])
+            assert got == pos, (path, t, got[:5], pos[:5])
+            assert int(g.loc[t, "tf"]) == len(pos)
+
+
+def test_declarative_positions_match_simple_tokens(spark):
+    docs = spark.createDataFrame(
+        [("r", "p1", "0", "en", "a b a  c\tb a")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    posts = {
+        r["term"]: (r["tf"], list(r["positions"]))
+        for r in build_postings(
+            docs, code_aware=False, with_positions=True
+        ).collect()
+    }
+    assert posts == {
+        "a": (3, [0, 2, 5]),
+        "b": (2, [1, 4]),
+        "c": (1, [3]),
+    }
+
+
+# ---------------------------------------------------------------------------
+# end-to-end phrase search vs python oracle + life-cycle
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ph_setup(spark, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("phx"))
+    base = make_corpus(spark, 120, seed=31, partitions=3)
+    b = IndexBuilder(spark, idx, n_buckets=4, positions=True)
+    b.build(base)
+    pdf = base.toPandas().sort_values("path").reset_index(drop=True)
+    return {"idx": idx, "b": b, "base": base, "pdf": pdf}
+
+
+def test_phrase_matches_python_oracle(spark, ph_setup):
+    pdf = ph_setup["pdf"]
+    for doc_i, start, n in [(3, 4, 2), (10, 2, 3), (40, 0, 2)]:
+        phrase = _pick_phrase(pdf, doc_i, start, n)
+        want = _oracle_scores(pdf, phrase)
+        assert want, f"picked phrase {phrase!r} matches nothing"
+        got = _engine_scores(spark, ph_setup["b"], ph_setup["idx"], phrase)
+        _assert_same_scores(got, want)
+
+
+def test_phrase_unknown_or_empty(spark, ph_setup):
+    res = phrase_search(
+        spark, ph_setup["idx"], [(0, "zzznope qqqnada"), (1, "   ")], k=5
+    )
+    assert res.count() == 0
+
+
+def test_phrase_requires_positions(spark, tmp_path):
+    idx = str(tmp_path / "nopos")
+    b = IndexBuilder(spark, idx, n_buckets=4)
+    b.build(make_corpus(spark, 30, seed=32, partitions=2))
+    with pytest.raises(ValueError, match="positions"):
+        phrase_search(spark, idx, [(0, "anything")], k=5)
+
+
+def test_mixed_positions_setting_refused(spark, ph_setup, tmp_path):
+    # finalized index: meta compat gate
+    b2 = IndexBuilder(spark, ph_setup["idx"], n_buckets=4, positions=False)
+    with pytest.raises(ValueError, match="do not match"):
+        b2.add_run(make_corpus(spark, 10, seed=33), "bad")
+    # pre-meta: run-manifest compat gate
+    idx2 = str(tmp_path / "mixed")
+    a = IndexBuilder(spark, idx2, n_buckets=4, positions=True)
+    a.add_run(make_corpus(spark, 10, seed=34), "r0")
+    c = IndexBuilder(spark, idx2, n_buckets=4, positions=False)
+    with pytest.raises(ValueError, match="settings"):
+        c.add_run(make_corpus(spark, 10, seed=35, start=10), "r1")
+
+
+def test_phrase_across_generations(spark, tmp_path):
+    """A phrase whose only match arrives in a delta generation is found,
+    and scores equal a single-shot rebuild over the union (global
+    N/avgdl exactness through refresh_delta)."""
+    idx = str(tmp_path / "gen")
+    base = make_corpus(spark, 80, seed=41, partitions=2)
+    delta = make_corpus(spark, 40, seed=41, partitions=2, start=80)
+    b = IndexBuilder(spark, idx, n_buckets=4, positions=True)
+    b.build(base)
+    b.add_run(delta, "d1")
+    assert b.refresh_delta(fanin=2) is not None
+
+    union_pdf = base.unionByName(delta).toPandas()
+    dpdf = delta.toPandas().reset_index(drop=True)
+    phrase = _pick_phrase(dpdf, 5, 3, 2)
+    want = _oracle_scores(union_pdf, phrase)
+    got = _engine_scores(spark, b, idx, phrase)
+    _assert_same_scores(got, want)
+    # at least one match must be a delta doc (the generation is visible)
+    delta_paths = set(dpdf["path"])
+    assert set(got) & delta_paths
+
+
+def test_phrase_delete_resurrect_compact(spark, tmp_path):
+    """Life-cycle under phrase queries: a deleted doc's phrases stop
+    matching (root-scoped exclusion), a re-ingested copy matches again,
+    and a forced compaction (physical reclaim; positions ride the fold)
+    keeps scores oracle-exact."""
+    idx = str(tmp_path / "life")
+    base = make_corpus(spark, 60, seed=51, partitions=2)
+    delta = make_corpus(spark, 30, seed=51, partitions=2, start=60)
+    b = IndexBuilder(spark, idx, n_buckets=4, positions=True)
+    b.build(base)
+    b.add_run(delta, "d1")
+    assert b.refresh_delta(fanin=2) is not None
+
+    dpdf = delta.toPandas().reset_index(drop=True)
+    victim_path = dpdf["path"][4]
+    phrase = _pick_phrase(dpdf, 4, 1, 3)
+    got0 = _engine_scores(spark, b, idx, phrase)
+    assert victim_path in got0
+
+    dim = b.docs_dim()
+    assert b.delete_docs(dim.filter(F.col("path") == victim_path)) is not None
+    surv_pdf = (
+        base.unionByName(delta)
+        .filter(F.col("path") != victim_path)
+        .toPandas()
+    )
+    got1 = _engine_scores(spark, b, idx, phrase)
+    assert victim_path not in got1
+    _assert_same_scores(got1, _oracle_scores(surv_pdf, phrase))
+
+    # resurrection: re-ingest the victim row, fold a new generation
+    victim_rows = delta.filter(F.col("path") == victim_path)
+    b.add_run(victim_rows, "rez")
+    assert b.refresh_delta(fanin=2) is not None
+    got2 = _engine_scores(spark, b, idx, phrase)
+    full_pdf = base.unionByName(delta).toPandas()
+    _assert_same_scores(got2, _oracle_scores(full_pdf, phrase))
+
+    # physical reclaim: force-fold every generation; positions survive
+    assert b.compact(force=True, delete_victims=True) is not None
+    got3 = _engine_scores(spark, b, idx, phrase)
+    _assert_same_scores(got3, _oracle_scores(full_pdf, phrase))

@@ -175,3 +175,56 @@ def test_search_rerank_single_postings_scan(spark, tiny_corpus):
         ]
         assert len(scans) == 1, p
         assert out.count() > 0
+
+
+# ---------------------------------------------------------------------------
+# Round-5 positional / prefix plan pins
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, tmp_path_factory, tiny_corpus):
+    d = str(tmp_path_factory.mktemp("posidx"))
+    IndexBuilder(spark, d, n_buckets=4, positions=True).build(tiny_corpus)
+    return d
+
+
+def test_phrase_term_pushdown_and_positions_pruning(spark, pos_index):
+    """The phrase plan's postings scans must (a) push the term IN-list
+    into parquet (row-group skipping on the term-sorted layout) and
+    (b) keep positions bytes out of the candidate pre-pass: at least
+    one postings scan reads WITHOUT the positions column, and only the
+    adjacency branch reads it."""
+    from docinsight_spark.index.phrase import phrase_search
+
+    res = phrase_search(spark, pos_index, [(0, "public static")], k=5)
+    p = plan_text(res)
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l]
+    assert any("In(term" in l for l in pushed), "\n".join(pushed)
+    reads = [l for l in p.splitlines() if "ReadSchema" in l and "term" in l]
+    lite = [l for l in reads if "positions" not in l]
+    heavy = [l for l in reads if "positions" in l]
+    assert lite, "candidate pre-pass reads positions bytes:\n" + "\n".join(reads)
+    assert heavy, "no scan reads positions at all:\n" + "\n".join(reads)
+
+
+def test_phrase_encode_input_prunes_positions(spark, pos_index, tiny_corpus):
+    """The WAND segment encoder's input over a positional merge must not
+    read the positions column (it is a pure projection of term/docID/tf)."""
+    b = IndexBuilder(spark, pos_index, n_buckets=4, positions=True)
+    final = [m for m in b.manifests() if m["unit"] == "merged-final"][0]
+    merged = spark.read.parquet(f"{final['source']}/postings")
+    enc_in = b._encode_input(merged)
+    p = plan_text(enc_in)
+    reads = [l for l in p.splitlines() if "ReadSchema" in l]
+    assert reads and all("positions" not in l for l in reads), "\n".join(reads)
+
+
+def test_prefix_expansion_pushdown(spark, small_index):
+    """The dictionary expansion's StartsWith predicate must reach the
+    term_stats parquet scan (range pruning on the term-sorted layout)."""
+    from docinsight_spark.index.wand import expand_prefix
+
+    exp = expand_prefix(spark, small_index, [(0, "re")], max_expansions=4)
+    p = assert_pushed_filter(exp, "StringStartsWith(term")
+    assert "PushedFilters" in p

@@ -1,0 +1,172 @@
+"""Prefix (wildcard) retrieval and conjunctive-AND semantics: expansion
+cap/order against a pandas recompute, score parity with a python BM25
+oracle, delete-corrected df exclusion, and the require_all gate."""
+
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from docinsight_spark.corpus import make_corpus
+from docinsight_spark.functions.tokenizer import tokenize_code_pandas
+from docinsight_spark.index.builder import IndexBuilder
+from docinsight_spark.index.wand import expand_prefix, prefix_search
+
+K1, B = 1.2, 0.75
+
+
+@pytest.fixture(scope="module")
+def px_setup(spark, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("pfx"))
+    corpus = make_corpus(spark, 100, seed=61, partitions=2)
+    b = IndexBuilder(spark, idx, n_buckets=4)
+    b.build(corpus)
+    pdf = corpus.toPandas().reset_index(drop=True)
+    toks = tokenize_code_pandas(pdf["content"], pdf["lang"])
+    return {"idx": idx, "b": b, "pdf": pdf, "toks": toks}
+
+
+def _pandas_expansion(toks: pd.Series, prefix: str, m: int) -> list[str]:
+    df: dict[str, int] = {}
+    for ts in toks:
+        for t in set(ts):
+            if t.startswith(prefix):
+                df[t] = df.get(t, 0) + 1
+    ranked = sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))
+    return [t for t, _ in ranked[:m]]
+
+
+def test_expansion_cap_and_order(spark, px_setup):
+    for prefix, m in [("s", 4), ("re", 3), ("v", 8)]:
+        got = [
+            r["term"]
+            for r in expand_prefix(
+                spark, px_setup["idx"], [(0, prefix)], max_expansions=m
+            )
+            .orderBy(F.col("df").desc(), "term")
+            .collect()
+        ]
+        want = _pandas_expansion(px_setup["toks"], prefix, m)
+        assert got == want, (prefix, got, want)
+
+
+def test_prefix_scores_match_python_oracle(spark, px_setup):
+    toks, pdf = px_setup["toks"], px_setup["pdf"]
+    m = 4
+    prefix = "s"
+    exp = _pandas_expansion(toks, prefix, m)
+    dl = toks.map(len)
+    n_docs, avgdl = int((dl > 0).sum()), float(dl[dl > 0].mean())
+    want: dict[str, float] = {}
+    for term in exp:
+        df = sum(1 for ts in toks if term in ts)
+        idf = math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        for path, ts, d in zip(pdf["path"], toks, dl, strict=True):
+            tf = sum(1 for t in ts if t == term)
+            if tf:
+                want[path] = want.get(path, 0.0) + idf * tf * (K1 + 1) / (
+                    tf + K1 * (1 - B + B * d / avgdl)
+                )
+    res = prefix_search(
+        spark, px_setup["idx"], [(0, prefix)], k=10_000, max_expansions=m
+    )
+    dim = px_setup["b"].docs_dim().select("docID", "path")
+    got = {
+        r["path"]: r["score"]
+        for r in res.join(dim, "docID").select("path", "score").collect()
+    }
+    assert set(got) == set(want)
+    for p in want:
+        assert abs(got[p] - want[p]) < 1e-9, (p, got[p], want[p])
+
+
+def test_prefix_excludes_fully_deleted_terms(spark, tmp_path):
+    """A term whose every holder is tombstoned reaches df 0 through the
+    lazy corrections and must drop out of the expansion."""
+    idx = str(tmp_path / "pdel")
+    docs = spark.createDataFrame(
+        [
+            ("r", "p1", "0", "java", "alpha common beta"),
+            ("r", "p2", "0", "java", "alphonly common"),
+            ("r", "p3", "0", "java", "alpha common gamma"),
+        ],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    b = IndexBuilder(spark, idx, n_buckets=2)
+    b.build(docs)
+    before = {
+        r["term"]
+        for r in expand_prefix(spark, idx, [(0, "alph")], max_expansions=8).collect()
+    }
+    assert before == {"alpha", "alphonly"}
+    b.delete_docs(b.docs_dim().filter(F.col("path") == "p2"))
+    after = {
+        r["term"]
+        for r in expand_prefix(spark, idx, [(0, "alph")], max_expansions=8).collect()
+    }
+    assert after == {"alpha"}
+
+
+def test_prefix_empty_and_nomatch(spark, px_setup):
+    assert (
+        prefix_search(spark, px_setup["idx"], [(0, "zzqx")], k=5).count() == 0
+    )
+    assert prefix_search(spark, px_setup["idx"], [(0, "")], k=5).count() == 0
+
+
+def test_require_all_conjunctive(spark, px_setup):
+    """require_all keeps exactly the docs containing EVERY query term,
+    with unchanged scores for the survivors."""
+    from docinsight_spark.operators.postings import (
+        build_postings,
+        corpus_stats,
+        doc_stats,
+        term_stats,
+    )
+    from docinsight_spark.operators.query import bm25_scores, query_terms
+
+    pdf, toks = px_setup["pdf"], px_setup["toks"]
+    corpus = spark.createDataFrame(pdf)
+    postings = build_postings(corpus, code_aware=True).cache()
+    dstats = doc_stats(postings)
+    tstats = term_stats(postings)
+    stats = corpus_stats(dstats)
+    # query 0: three tokens that genuinely co-occur in doc 0 (so the
+    # conjunction is non-empty) but are not universal; query 1 mixes a
+    # real token with one absent from the corpus
+    t0 = sorted(set(toks.iloc[0]))
+    q0_terms = [t0[0], t0[len(t0) // 2], t0[-1]]
+    queries = spark.createDataFrame(
+        [(0, " ".join(q0_terms)), (1, f"{q0_terms[0]} zqnosuchterm")],
+        "query_id long, query_text string",
+    )
+    qt = query_terms(queries, code_aware=True)
+    loose = bm25_scores(qt, postings, tstats, dstats, stats).toPandas()
+    strict = bm25_scores(
+        qt, postings, tstats, dstats, stats, require_all=True
+    ).toPandas()
+
+    ids = corpus.withColumn(
+        "docID", F.xxhash64("repo", "path", "commit")
+    ).select("path", "docID").toPandas()
+    tok_by_id = {
+        docid: set(ts)
+        for docid, ts in zip(ids["docID"], toks, strict=True)
+    }
+    want0 = {d for d, ts in tok_by_id.items() if set(q0_terms) <= ts}
+    got0 = set(strict[strict.query_id == 0]["docID"])
+    assert want0, "picked terms never co-occur — fixture broke"
+    assert got0 == want0
+    # query 1 contains a term absent from the corpus: strict AND = empty
+    assert (strict.query_id == 1).sum() == 0
+    # survivors keep their loose scores exactly
+    merged = strict.merge(loose, on=["query_id", "docID"], suffixes=("_s", "_l"))
+    assert len(merged) == len(strict)
+    assert (merged["score_s"] - merged["score_l"]).abs().max() < 1e-12
