@@ -199,13 +199,37 @@ def cmd_query(args) -> int:
         from docinsight_spark.index.wand import wand_search
 
         res = wand_search(spark, args.index, queries, k=args.k)
+    if getattr(args, "snippet_window", 0):
+        # evidence spans: best matched-term window per result (needs a
+        # positions=True index)
+        from docinsight_spark.index.phrase import snippet_windows
+        from docinsight_spark.index.wand import _load_meta, _query_term_map
+
+        meta = _load_meta(args.index)
+        qm = _query_term_map(
+            queries, bool(meta.get("code_aware", True)), 100_000,
+            str(meta.get("query_lang", "java")),
+        ) or {}
+        qt = spark.createDataFrame(
+            [(q, t) for q, ts in qm.items() for t in ts],
+            "query_id long, term string",
+        )
+        sn = snippet_windows(
+            spark, args.index, res.select("query_id", "docID"), qt,
+            window=args.snippet_window,
+        )
+        res = res.join(sn, ["query_id", "docID"], "left")
     if args.out:
         res.write.mode("overwrite").parquet(args.out)
         print(json.dumps({"status": "written", "out": args.out}))
     else:
+        extra_cols = [c for c in ("snippet_start", "n_matches") if c in res.columns]
         for r in res.orderBy("query_id", "rank").collect():
-            print(json.dumps(dict(query_id=r["query_id"], rank=r["rank"],
-                                  docID=r["docID"], score=round(r["score"], 4))))
+            row = dict(query_id=r["query_id"], rank=r["rank"],
+                       docID=r["docID"], score=round(r["score"], 4))
+            for c in extra_cols:
+                row[c] = r[c]
+            print(json.dumps(row))
     return 0
 
 
@@ -353,6 +377,9 @@ def main(argv: list[str] | None = None) -> int:
                         "wildcard `pre*` dictionary expansion")
     q.add_argument("--max-expansions", type=int, default=16,
                    help="prefix mode: expansion cap per prefix (highest df)")
+    q.add_argument("--snippet-window", type=int, default=0,
+                   help="attach a best matched-term window of this many "
+                        "tokens to each result (needs a --positions index)")
     q.add_argument("--out")
     q.set_defaults(fn=cmd_query)
 

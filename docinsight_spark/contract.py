@@ -1675,6 +1675,141 @@ def phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Keyword-in-context snippets (round 5): for each of a query's top-k
+# docs, the token offset whose W-token window covers the most query-term
+# occurrences (ties → smallest offset) — the evidence-span analog of the
+# reference's matched-sentence display (analysis/report_builder.py).
+# Engine: positional index → matched positions for the candidates only →
+# per-(query, doc) self range-join argmax (index/phrase.snippet_windows).
+# Oracle: same window argmax in SQL over the zipped-unnest token stream.
+# All-integer output — no float rounding in the hash at all.
+# ---------------------------------------------------------------------------
+
+_SNIP_QUERIES: list[tuple[int, str]] = [
+    (0, "spark join"),
+    (1, "filter scan"),
+    (2, "window batch"),
+]
+_SNIP_TERMS: list[tuple[int, str]] = [
+    (q, t) for q, text in _SNIP_QUERIES for t in text.split()
+]
+_SNIP_W, _SNIP_K = 8, 5
+
+
+def _snippet_oracle_sql(
+    query_terms: list[tuple[int, str]] = _SNIP_TERMS,
+    k: int = _SNIP_K,
+    window: int = _SNIP_W,
+) -> str:
+    vals = ", ".join(f"({q}, '{t}')" for q, t in query_terms)
+    return f"""
+WITH ptoks AS (
+  SELECT doc_id, unnest(toks) AS term, unnest(range(len(toks)))::BIGINT AS pos
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+    FROM documents
+  )
+),
+postings AS (
+  SELECT term, doc_id, count(*)::BIGINT AS tf FROM ptoks GROUP BY 1, 2
+),
+dstats AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
+tstats AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY term),
+c AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dstats),
+qterms(query_id, term) AS (VALUES {vals}),
+scored AS (
+  SELECT q.query_id::BIGINT AS query_id, p.doc_id,
+         sum(
+           ln((c.n - t.df + 0.5) / (t.df + 0.5) + 1.0)
+           * p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / c.avgdl))
+         ) AS s
+  FROM qterms q
+  JOIN postings p USING (term)
+  JOIN tstats t USING (term)
+  JOIN dstats d USING (doc_id)
+  CROSS JOIN c
+  GROUP BY 1, 2
+),
+topk AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(s, 4) DESC, doc_id) AS r
+    FROM scored
+  ) WHERE r <= {k}
+),
+mpos AS (
+  SELECT DISTINCT q.query_id::BIGINT AS query_id, t.doc_id, t.pos
+  FROM ptoks t
+  JOIN qterms q USING (term)
+  JOIN topk kk ON kk.query_id = q.query_id AND kk.doc_id = t.doc_id
+),
+wins AS (
+  SELECT a.query_id, a.doc_id, a.pos AS snippet_start,
+         count(*)::BIGINT AS n_matches
+  FROM mpos a JOIN mpos b
+    ON b.query_id = a.query_id AND b.doc_id = a.doc_id
+   AND b.pos >= a.pos AND b.pos < a.pos + {window}
+  GROUP BY 1, 2, 3
+)
+SELECT query_id, doc_id, snippet_start, n_matches FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id, doc_id
+                               ORDER BY n_matches DESC, snippet_start) AS r
+  FROM wins
+) WHERE r = 1
+"""
+
+
+@_register("snippet_topk", _snippet_oracle_sql())
+def snippet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evidence snippets for each query's BM25 top-5: best matched-term
+    window start + match count (integer-exact, no rounding)."""
+    import tempfile
+
+    from docinsight_spark.index.builder import IndexBuilder
+    from docinsight_spark.index.phrase import snippet_windows
+    from docinsight_spark.index.wand import wand_search
+
+    docs = _docs(spark, sf_dir).select(
+        F.lit("sf/docs").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id")).alias("path"),
+        F.lit("0000").alias("commit"),
+        F.lit("en").alias("lang"),
+        F.col("text").alias("content"),
+    )
+    idx = tempfile.mkdtemp(prefix="contract_snip_")
+    b = IndexBuilder(spark, idx, n_buckets=8, code_aware=False, positions=True)
+    b.build(docs)
+    dim = b.docs_dim().select(
+        "docID", F.expr("CAST(substr(path, 5) AS LONG)").alias("doc_id")
+    )
+    queries = spark.createDataFrame(
+        _SNIP_QUERIES, "query_id long, query_text string"
+    )
+    res = wand_search(spark, idx, queries, k=_WAND_OVERFETCH)
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("score", 4).desc(), F.col("doc_id")
+    )
+    cand = (
+        res.join(dim, "docID")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _SNIP_K)
+        .select("query_id", "docID", "doc_id")
+    )
+    qterms = spark.createDataFrame(_SNIP_TERMS, "query_id long, term string")
+    snips = snippet_windows(
+        spark, idx, cand.select("query_id", "docID"), qterms, window=_SNIP_W
+    )
+    return snips.join(cand, ["query_id", "docID"]).select(
+        "query_id",
+        "doc_id",
+        F.col("snippet_start").cast("long").alias("snippet_start"),
+        "n_matches",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Conjunctive (boolean AND) BM25 top-k (round 5): only docs containing
 # EVERY query term score.  Engine: the same broadcast probe join as
 # bm25_topk — the hit count rides the existing (query, doc) aggregation

@@ -206,19 +206,27 @@ def phrase_search(
         (g["id"], f"{index_dir}/generations/{g['id']}")
         for g in meta.get("generations", [])
     ]
+    # keep the doc_bucket partition column: the dl join is the plan's
+    # only corpus-wide touch, and joining on the partition key too lets
+    # dynamic partition pruning skip doc_stats buckets holding no phrase
+    # match (ptf's bucket is derivable in-plan — same pmod the build used)
     ds = _union_frames(
         [
             spark.read.parquet(f"{rdir}/doc_stats")
-            .select("docID", "dl")
+            .select("docID", "dl", "doc_bucket")
             .withColumn("_root", F.lit(rid))
             for rid, rdir in stats_dirs
         ]
     )
     n_docs, avgdl = int(meta["n_docs"]), float(meta["avgdl"])
     k1, b = float(meta["k1"]), float(meta["b"])
+    n_buckets = int(meta["n_buckets"])
+    ptf = ptf.withColumn(
+        "doc_bucket", F.pmod(F.col("docID"), F.lit(n_buckets)).cast("int")
+    )
     scored = (
         ptf.join(F.broadcast(pdf), "query_id")
-        .join(ds, ["docID", "_root"])
+        .join(ds, ["doc_bucket", "docID", "_root"])
         .withColumn(
             "score",
             bm25_score_col(
@@ -233,4 +241,96 @@ def phrase_search(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "docID", "score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Keyword-in-context snippets: best matched-term window per (query, doc)
+# ---------------------------------------------------------------------------
+
+
+def snippet_windows(
+    spark: SparkSession,
+    index_dir: str,
+    candidates: DataFrame,
+    qterms: DataFrame,
+    window: int = 8,
+) -> DataFrame:
+    """(query_id, docID, snippet_start, n_matches) — for each candidate
+    (query_id, docID) pair, the token offset whose ``window``-token span
+    covers the MOST query-term occurrences (ties → smallest offset): the
+    keyword-in-context evidence span, the engine's analog of the
+    reference's matched-sentence display
+    (``/root/reference/analysis/report_builder.py`` per-span rendering).
+
+    ``candidates``: (query_id, docID) — normally a top-k result, so tiny
+    and broadcast; ``qterms``: (query_id, term).  Cost is bounded by the
+    candidates' matched positions: the positions scan is pushed down to
+    the query's terms, restricted to candidate docs BEFORE positions
+    explode, and the window argmax is a per-(query, doc) self range-join
+    over a handful of matched offsets — never a corpus-wide pass.
+    Requires a ``positions=True`` index."""
+    meta = fsio.read_json(f"{index_dir}/_meta.json")
+    if not meta.get("positions", False):
+        raise ValueError(
+            f"index at {index_dir} was built without positions=True; "
+            "snippets need positional postings"
+        )
+    terms = [r["term"] for r in qterms.select("term").distinct().collect()]
+    if not terms:
+        return spark.createDataFrame(
+            [], "query_id long, docID long, snippet_start int, n_matches long"
+        )
+    roots = merged_roots(index_dir, meta)
+    rows = _union_frames(
+        [
+            spark.read.parquet(src)
+            .filter(F.col("term").isin(terms))
+            .select("term", "docID", "positions")
+            .withColumn("_root", F.lit(rid))
+            for rid, src in roots
+        ]
+    )
+    tomb = load_tombstone_pairs(spark, index_dir, meta)
+    if tomb is not None:
+        rows = rows.join(
+            F.broadcast(tomb.withColumnRenamed("root", "_root")),
+            ["docID", "_root"],
+            "left_anti",
+        )
+    cand = candidates.select("query_id", "docID").distinct()
+    mpos = (
+        rows.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(cand), ["query_id", "docID"], "left_semi")
+        .select("query_id", "docID", F.explode("positions").alias("pos"))
+        .distinct()  # two query terms at one offset count once
+    )
+    a, bb = mpos.alias("a"), mpos.alias("b")
+    wins = (
+        a.join(
+            bb,
+            (F.col("a.query_id") == F.col("b.query_id"))
+            & (F.col("a.docID") == F.col("b.docID"))
+            & (F.col("b.pos") >= F.col("a.pos"))
+            & (F.col("b.pos") < F.col("a.pos") + F.lit(window)),
+        )
+        .groupBy(
+            F.col("a.query_id").alias("query_id"),
+            F.col("a.docID").alias("docID"),
+            F.col("a.pos").alias("snippet_start"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )
+    w = Window.partitionBy("query_id", "docID").orderBy(
+        F.col("n_matches").desc(), F.col("snippet_start")
+    )
+    return (
+        wins.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select(
+            "query_id",
+            "docID",
+            F.col("snippet_start").cast("int").alias("snippet_start"),
+            "n_matches",
+        )
     )

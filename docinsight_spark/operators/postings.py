@@ -136,15 +136,27 @@ def build_postings(
                 np.concatenate(([0], np.cumsum(lens)[:-1])), lens
             )
             pos = (np.arange(len(flat)) - starts).astype("int32")
-            g = pd.DataFrame(
-                {"docID": doc_rep, "term": flat, "pos": pos}
-            ).groupby(["docID", "term"], sort=False)
-            tf = g.agg(
-                tf=("pos", "size"), positions=("pos", list)
-            ).reset_index()
-            # grouped rows preserve input order, so positions are already
-            # ascending within each (docID, term) group
-            yield tf[["term", "docID", "tf", "positions"]]
+            # grouping WITHOUT pandas groupby.agg(list) (python-level per
+            # group — measured ~2× on the whole build): factorize terms,
+            # compose an int64 (doc, term) key, stable-argsort it (keeps
+            # within-group input order → positions stay ascending), then
+            # slice the ordered positions at group boundaries
+            tcodes, _tuniq = pd.factorize(flat, sort=False)
+            dcodes = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+            key = dcodes * np.int64(len(_tuniq)) + tcodes
+            order = np.argsort(key, kind="stable")
+            skey = key[order]
+            bounds = np.flatnonzero(skey[1:] != skey[:-1]) + 1
+            firsts = np.concatenate(([0], bounds))
+            ordered_pos = pos[order]
+            yield pd.DataFrame(
+                {
+                    "term": flat[order][firsts],
+                    "docID": doc_rep[order][firsts],
+                    "tf": np.diff(np.concatenate((firsts, [len(skey)]))),
+                    "positions": np.split(ordered_pos, bounds),
+                }
+            )
 
     schema = "term string, docID long, tf long"
     if with_positions:

@@ -257,3 +257,66 @@ def test_phrase_delete_resurrect_compact(spark, tmp_path):
     assert b.compact(force=True, delete_victims=True) is not None
     got3 = _engine_scores(spark, b, idx, phrase)
     _assert_same_scores(got3, _oracle_scores(full_pdf, phrase))
+
+
+# ---------------------------------------------------------------------------
+# keyword-in-context snippets
+# ---------------------------------------------------------------------------
+
+
+def _py_best_window(mpos: list[int], w: int) -> tuple[int, int]:
+    best = None
+    for p in mpos:
+        m = sum(1 for q in mpos if p <= q < p + w)
+        if best is None or m > best[1]:
+            best = (p, m)
+    return best
+
+
+def test_snippet_windows_match_python_oracle(spark, ph_setup):
+    from docinsight_spark.index.phrase import snippet_windows
+
+    pdf = ph_setup["pdf"]
+    toks = _doc_tokens(pdf)
+    # two query term sets drawn from real docs
+    qsets = {
+        0: set(list(toks.iloc[3])[:3]),
+        1: set(list(toks.iloc[10])[4:7]),
+    }
+    qterms = spark.createDataFrame(
+        [(q, t) for q, ts in qsets.items() for t in ts],
+        "query_id long, term string",
+    )
+    # candidates: every doc matching ≥1 term of the query
+    cands, want = [], {}
+    ids = {
+        r["path"]: r["docID"]
+        for r in ph_setup["b"].docs_dim().select("path", "docID").collect()
+    }
+    W = 6
+    for q, ts in qsets.items():
+        for path, dt in zip(pdf["path"], toks, strict=True):
+            mpos = [i for i, t in enumerate(dt) if t in ts]
+            if mpos:
+                cands.append((q, ids[path]))
+                want[(q, ids[path])] = _py_best_window(mpos, W)
+    cand_df = spark.createDataFrame(cands, "query_id long, docID long")
+    got = {
+        (r["query_id"], r["docID"]): (r["snippet_start"], r["n_matches"])
+        for r in snippet_windows(
+            spark, ph_setup["idx"], cand_df, qterms, window=W
+        ).collect()
+    }
+    assert got == want
+
+
+def test_snippet_requires_positions(spark, tmp_path):
+    from docinsight_spark.index.phrase import snippet_windows
+
+    idx = str(tmp_path / "nopos2")
+    b = IndexBuilder(spark, idx, n_buckets=2)
+    b.build(make_corpus(spark, 20, seed=71, partitions=2))
+    qt = spark.createDataFrame([(0, "x")], "query_id long, term string")
+    cd = spark.createDataFrame([(0, 1)], "query_id long, docID long")
+    with pytest.raises(ValueError, match="positions"):
+        snippet_windows(spark, idx, cd, qt)
