@@ -25,6 +25,11 @@ Runs the engine's flagship workloads at ``$SPARK_GRAFT_SF_DIR``
 * ``neardup_probe`` — incremental near-dup gate: delta probes the
                       persisted signature store (excluded from the
                       total; read ``extras.neardup_probe_vs_batch``)
+* ``positional_build`` / ``phrase_query`` — positions=True build
+                      buy-in (``extras.positional_vs_build``) and a
+                      10-phrase exact-phrase batch in one plan
+                      (``extras.phrase_batch_qps``); both excluded
+                      from the total (new stages in round 5)
 
 Scaling evidence (local[8] vs local[32]) is produced separately by
 ``scripts/scaling_bench.py`` and recorded in ``BENCH/BASELINE.md``.
@@ -332,11 +337,55 @@ def main() -> None:
         extras["neardup_probe_vs_batch"] = round(
             timings["neardup_probe"] / timings["minhash_dedup"], 3
         )
+
+        # -- positional index + exact phrase retrieval (round 5).
+        #    Excluded from the headline total: positional_build is the
+        #    positions=True buy-in vs index_build (same corpus/geometry);
+        #    phrase_query runs a 10-phrase batch of REAL corpus bigrams/
+        #    trigrams in ONE plan (the offline regime — single-phrase
+        #    latency is Spark-fixed-cost-bound, see BENCH/BASELINE.md).
+        from docinsight_spark.functions.tokenizer import tokenize_code_pandas
+        from docinsight_spark.index.phrase import phrase_search
+
+        pos_dir = tempfile.mkdtemp(prefix="bench_pos_", dir=scratch)
+
+        def _pos_build():
+            shutil.rmtree(pos_dir, ignore_errors=True)
+            os.makedirs(pos_dir, exist_ok=True)
+            IndexBuilder(
+                spark, pos_dir, n_buckets=32, positions=True
+            ).build(corpus, n_runs=4, fanin=2)
+
+        bench("positional_build", _pos_build, repeats=1)
+        extras["positional_vs_build"] = round(
+            timings["positional_build"] / timings["index_build"], 3
+        )
+
+        pdf_s = corpus.limit(30).toPandas()
+        toks_s = tokenize_code_pandas(pdf_s["content"], pdf_s["lang"])
+        phrases: list[tuple[int, str]] = []
+        for i, ts in enumerate(toks_s):
+            if len(phrases) >= 10:
+                break
+            ts = list(ts)
+            if len(ts) < 8:
+                continue
+            n = 2 + (i % 2)
+            st = (i * 13) % (len(ts) - n)
+            phrases.append((len(phrases), " ".join(ts[st : st + n])))
+
+        def _phrase():
+            return phrase_search(spark, pos_dir, phrases, k=10).count()
+
+        extras["phrase_batch_rows"] = bench("phrase_query", _phrase)
+        extras["phrase_batch_qps"] = round(
+            len(phrases) / timings["phrase_query"], 2
+        )
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
         shutil.rmtree(corpus_dir, ignore_errors=True)
         for p in os.listdir(scratch):
-            if p.startswith("bench_nd_"):
+            if p.startswith(("bench_nd_", "bench_pos_")):
                 shutil.rmtree(os.path.join(scratch, p), ignore_errors=True)
         spark.stop()
 
@@ -348,7 +397,8 @@ def main() -> None:
         sum(
             v for k, v in timings.items()
             if k not in ("datagen", "refresh_delta", "delete_docs",
-                         "neardup_store_build", "neardup_probe")
+                         "neardup_store_build", "neardup_probe",
+                         "positional_build", "phrase_query")
         ),
         3,
     )

@@ -1705,6 +1705,32 @@ class IndexBuilder:
             and fsio.exists(f"{final[0]['source']}/postings"),
             final[0].get("source", "missing") if final else "missing",
         )
+
+        if meta.get("positions", False) and final:
+            # positional integrity: every live root's merged postings must
+            # carry the positions column with Σ size(positions) == Σ tf —
+            # a root whose positions were lost (e.g. a mixed-settings
+            # writer) would leave phrase search silently blind/wrong
+            srcs = [("base", f"{final[0]['source']}/postings")] + [
+                (g["id"], f"{g['merged_source']}/postings")
+                for g in gens if g.get("merged_source")
+            ]
+            bad = []
+            for rid, src in srcs:
+                df = self.spark.read.parquet(src)
+                if "positions" not in df.columns:
+                    bad.append(f"{rid}: no positions column")
+                    continue
+                row = df.agg(
+                    F.sum("tf").alias("t"),
+                    F.sum(F.size("positions")).alias("p"),
+                ).first()
+                if int(row["t"] or 0) != int(row["p"] or 0):
+                    bad.append(
+                        f"{rid}: Σtf={row['t']} vs Σ|positions|={row['p']}"
+                    )
+            rec("positions_integrity", not bad, "; ".join(bad))
+
         return {"ok": all(c["ok"] for c in checks.values()), "checks": checks}
 
     def delete_matching(self, condition, neardup_store=None) -> str | None:

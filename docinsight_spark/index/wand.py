@@ -484,7 +484,9 @@ def wand_search(
         [], "query_id long, rank int, docID long, score double"
     )
     qmap = (
-        {int(q): sorted(set(ts)) for q, ts in _qmap.items()}
+        # same invariant as _query_term_map: no empty term lists (a
+        # prefix with zero expansions simply returns no rows)
+        {int(q): sorted(set(ts)) for q, ts in _qmap.items() if ts}
         if _qmap is not None
         else _query_term_map(queries, code_aware, driver_tokenize_max, qlang)
     )

@@ -320,3 +320,11 @@ def test_snippet_requires_positions(spark, tmp_path):
     cd = spark.createDataFrame([(0, 1)], "query_id long, docID long")
     with pytest.raises(ValueError, match="positions"):
         snippet_windows(spark, idx, cd, qt)
+
+
+def test_fsck_positions_integrity(spark, ph_setup):
+    """fsck is green on a healthy positional index and loud when a
+    root's positions are corrupted."""
+    out = ph_setup["b"].fsck()
+    assert out["checks"]["positions_integrity"]["ok"], out
+    assert out["ok"], out
