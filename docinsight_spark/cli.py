@@ -196,9 +196,54 @@ def cmd_query(args) -> int:
             max_expansions=args.max_expansions,
         )
     else:
-        from docinsight_spark.index.wand import wand_search
+        # or|and modes; words prefixed `-` are boolean-NOT exclusions
+        # (`spark join -slow`).  Plain OR with no exclusions takes the
+        # block-max fast path; AND / NOT take the exact one-scan path
+        # over the index's materialized relations.
+        from docinsight_spark.index.wand import _load_meta, wand_search
 
-        res = wand_search(spark, args.index, queries, k=args.k)
+        rows = [
+            (int(r["query_id"]), r["query_text"] or "")
+            for r in queries.select("query_id", "query_text").collect()
+        ]
+        neg_pairs, pos_rows = [], []
+        meta = _load_meta(args.index)
+        for qid, text in rows:
+            words = text.split()
+            negs = [w[1:] for w in words if w.startswith("-") and len(w) > 1]
+            pos_rows.append(
+                (qid, " ".join(w for w in words if not w.startswith("-")))
+            )
+            if negs:
+                from docinsight_spark.index.phrase import _phrase_offsets
+
+                neg_pairs += [
+                    (q, t)
+                    for q, _off, t in _phrase_offsets(
+                        [(qid, " ".join(negs))],
+                        bool(meta.get("code_aware", True)),
+                        str(meta.get("query_lang", "java")),
+                    )
+                ]
+        if mode == "and" or neg_pairs:
+            from docinsight_spark.evaluation import oracle_from_index
+
+            pos_df = spark.createDataFrame(
+                pos_rows, "query_id long, query_text string"
+            )
+            neg_df = (
+                spark.createDataFrame(
+                    sorted(set(neg_pairs)), "query_id long, term string"
+                )
+                if neg_pairs
+                else None
+            )
+            res = oracle_from_index(
+                spark, args.index, pos_df, k=args.k,
+                require_all=(mode == "and"), neg_terms=neg_df,
+            )
+        else:
+            res = wand_search(spark, args.index, queries, k=args.k)
     if getattr(args, "snippet_window", 0):
         # evidence spans: best matched-term window per result (needs a
         # positions=True index)
@@ -371,10 +416,13 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--index", required=True)
     q.add_argument("--queries", required=True, help="parquet with query_id, query_text")
     q.add_argument("--k", type=int, default=10)
-    q.add_argument("--mode", choices=["or", "phrase", "prefix"], default="or",
-                   help="or: BM25 bag-of-words (WAND); phrase: exact "
-                        "adjacency (needs a positions=True index); prefix: "
-                        "wildcard `pre*` dictionary expansion")
+    q.add_argument("--mode", choices=["or", "and", "phrase", "prefix"],
+                   default="or",
+                   help="or: BM25 bag-of-words (WAND fast path); and: every "
+                        "term required (exact path); phrase: exact adjacency "
+                        "(needs a positions=True index); prefix: wildcard "
+                        "`pre*` dictionary expansion.  In or/and modes, "
+                        "`-word` excludes docs containing it (boolean NOT)")
     q.add_argument("--max-expansions", type=int, default=16,
                    help="prefix mode: expansion cap per prefix (highest df)")
     q.add_argument("--snippet-window", type=int, default=0,

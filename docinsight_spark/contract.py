@@ -1898,6 +1898,106 @@ def bm25_and_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Boolean NOT BM25 top-k (round 5): docs containing ANY of a query's
+# negative terms are excluded.  Engine: one broadcast-restricted
+# postings probe for the negative terms -> anti-join on the aggregated
+# candidates (operators/query.bm25_scores(neg_terms=...)); cost is
+# bounded by the negative terms' df, never a second corpus pass.
+# ---------------------------------------------------------------------------
+
+_NOT_QUERY_TERMS: list[tuple[int, str]] = [
+    (0, "spark"), (0, "join"),
+    (1, "window"), (1, "batch"),
+    (2, "merge"), (2, "stream"),
+]
+_NOT_NEG_TERMS: list[tuple[int, str]] = [
+    (0, "slow"),
+    (1, "key"),
+    (2, "customer"), (2, "vector"),
+]
+
+
+def _bm25_not_oracle_sql(
+    query_terms: list[tuple[int, str]] = _NOT_QUERY_TERMS,
+    neg_terms: list[tuple[int, str]] = _NOT_NEG_TERMS,
+    k: int = BM25_K,
+) -> str:
+    vals = ", ".join(f"({q}, '{t}')" for q, t in query_terms)
+    nvals = ", ".join(f"({q}, '{t}')" for q, t in neg_terms)
+    return f"""
+WITH {_SQL_POSTINGS},
+dstats AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
+tstats AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY term),
+c AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dstats),
+qterms(query_id, term) AS (VALUES {vals}),
+negs(query_id, term) AS (VALUES {nvals}),
+banned AS (
+  SELECT DISTINCT n.query_id, p.doc_id
+  FROM negs n JOIN postings p USING (term)
+),
+scored AS (
+  SELECT q.query_id::BIGINT AS query_id, p.doc_id,
+         sum(
+           ln((c.n - t.df + 0.5) / (t.df + 0.5) + 1.0)
+           * p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / c.avgdl))
+         ) AS s
+  FROM qterms q
+  JOIN postings p USING (term)
+  JOIN tstats t USING (term)
+  JOIN dstats d USING (doc_id)
+  CROSS JOIN c
+  GROUP BY 1, 2
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT s.query_id, s.doc_id, round(s.s, 4) AS score,
+         row_number() OVER (PARTITION BY s.query_id
+                            ORDER BY round(s.s, 4) DESC, s.doc_id) AS rank
+  FROM scored s
+  WHERE NOT EXISTS (
+    SELECT 1 FROM banned b
+    WHERE b.query_id = s.query_id AND b.doc_id = s.doc_id
+  )
+) WHERE rank <= {k}
+"""
+
+
+@_register("bm25_not_topk", _bm25_not_oracle_sql())
+def bm25_not_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean-NOT BM25 top-10: docs with any negative term excluded."""
+    postings = postings_tf(spark, sf_dir).cache()
+    dstats = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    tstats = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    crow = dstats.agg(
+        F.count(F.lit(1)).cast("double").alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    qterms = spark.createDataFrame(_NOT_QUERY_TERMS, "query_id long, term string")
+    negs = spark.createDataFrame(_NOT_NEG_TERMS, "query_id long, term string")
+    banned = (
+        postings.join(F.broadcast(negs), "term")
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+    scored = (
+        postings.join(F.broadcast(qterms.join(tstats, "term")), "term")
+        .join(dstats, "doc_id")
+        .withColumn(
+            "contrib",
+            bm25_score_col(F.col("tf"), F.col("df"), F.col("dl"),
+                           float(crow["n"]), float(crow["avgdl"])),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("contrib"), 4).alias("score"))
+        .join(banned, ["query_id", "doc_id"], "left_anti")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_K)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Prefix (wildcard `pre*`) top-k (round 5): each prefix expands against
 # the index's term dictionary — capped to the max_expansions highest-df
 # terms (ties → term asc), the Lucene MultiTermQuery rewrite — then

@@ -81,11 +81,16 @@ def rank_correlation_summary(per_query: DataFrame) -> dict:
 
 
 def oracle_from_index(
-    spark: SparkSession, index_dir: str, queries: DataFrame, k: int = 10
+    spark: SparkSession, index_dir: str, queries: DataFrame, k: int = 10,
+    require_all: bool = False, neg_terms: DataFrame | None = None,
 ) -> DataFrame:
     """Exact BM25 top-k using the *index's own* materialized relations
     (merged postings, doc/term stats) — no re-tokenize, so the oracle
-    pass costs one scan + the scoring joins."""
+    pass costs one scan + the scoring joins.
+
+    ``require_all`` / ``neg_terms`` expose boolean AND / NOT retrieval
+    over the index (the block-max kernel serves plain OR; boolean
+    shapes take this exact path — still one postings scan)."""
     from docinsight_spark.index import fsio
     from docinsight_spark.index.builder import (
         load_doc_stats,
@@ -104,4 +109,5 @@ def oracle_from_index(
         queries, postings, tstats, dstats, stats, k=k,
         code_aware=bool(meta.get("code_aware", True)),
         lang=str(meta.get("query_lang", "java")),
+        require_all=require_all, neg_terms=neg_terms,
     )

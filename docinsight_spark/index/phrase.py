@@ -57,6 +57,11 @@ from docinsight_spark.index.builder import (
 # Java-regex \s parity with the build/WAND driver paths (wand.py:_query_term_map)
 _JAVA_WS = re.compile("[ \t\n\x0b\f\r]+")
 
+# phrase query batches collect to the driver (offsets must broadcast);
+# beyond this, split the batch — ~100k phrases × a few terms is tens of
+# MB of driver rows, the same budget the WAND wave chunking protects
+MAX_PHRASE_BATCH = 100_000
+
 
 def _phrase_offsets(
     rows: list[tuple[int, str]], code_aware: bool, lang: str
@@ -123,10 +128,19 @@ def phrase_search(
         code_aware = bool(meta.get("code_aware", True))
     qlang = str(meta.get("query_lang", "java"))
     if isinstance(queries, DataFrame):
-        rows = [
-            (int(r["query_id"]), r["query_text"])
-            for r in queries.select("query_id", "query_text").collect()
-        ]
+        # phrase batches are driver-resident by design (human-scale query
+        # sets); refuse a batch that would flood the driver instead of
+        # silently collecting it — the WAND path has the wave machinery
+        # for 10^5+ query batches, phrases don't (yet)
+        head = queries.select("query_id", "query_text").limit(
+            MAX_PHRASE_BATCH + 1
+        ).collect()
+        if len(head) > MAX_PHRASE_BATCH:
+            raise ValueError(
+                f"phrase batch exceeds {MAX_PHRASE_BATCH} queries; split "
+                "the batch (phrase terms are driver-resident)"
+            )
+        rows = [(int(r["query_id"]), r["query_text"]) for r in head]
     else:
         rows = [(int(q), t) for q, t in queries]
     offsets = _phrase_offsets(rows, code_aware, qlang)

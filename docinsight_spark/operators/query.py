@@ -56,6 +56,7 @@ def bm25_scores(
     k1: float = BM25_K1,
     b: float = BM25_B,
     require_all: bool = False,
+    neg_terms: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, docID, score) for every candidate doc.
 
@@ -72,6 +73,13 @@ def bm25_scores(
     constant; no extra pass, no extra shuffle.  A query term absent
     from the corpus matches nothing, so its query returns empty
     (strict AND).
+
+    ``neg_terms`` ((query_id, term)) is boolean NOT: a doc containing
+    ANY of its query's negative terms is excluded.  The exclusion set
+    is derived from one postings probe restricted (broadcast) to the
+    negative terms — cost bounded by Σ df(neg term), applied as an
+    anti-join on the already-aggregated candidates, never a second
+    corpus pass.
     """
     # Restrict term stats to query terms first — keeps the broadcast tiny.
     q_with_df = qterms.join(tstats, "term", "inner")
@@ -97,6 +105,13 @@ def bm25_scores(
             .filter(F.col("_hits") == F.col("_nq"))
             .drop("_nq")
         )
+    if neg_terms is not None:
+        banned = (
+            postings.join(F.broadcast(neg_terms), "term")
+            .select("query_id", "docID")
+            .distinct()
+        )
+        agg = agg.join(banned, ["query_id", "docID"], "left_anti")
     return agg.drop("_hits")
 
 
@@ -129,6 +144,7 @@ def search(
     code_aware: bool = True,
     lang: str = "java",
     require_all: bool = False,
+    neg_terms: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end oracle search; optionally enrich with doc metadata.
 
@@ -140,7 +156,10 @@ def search(
     """
     qt = query_terms(queries, code_aware=code_aware, lang=lang)
     ranked = topk(
-        bm25_scores(qt, postings, tstats, dstats, stats, require_all=require_all),
+        bm25_scores(
+            qt, postings, tstats, dstats, stats,
+            require_all=require_all, neg_terms=neg_terms,
+        ),
         k=k,
     )
     if min_score is not None:

@@ -170,3 +170,45 @@ def test_require_all_conjunctive(spark, px_setup):
     merged = strict.merge(loose, on=["query_id", "docID"], suffixes=("_s", "_l"))
     assert len(merged) == len(strict)
     assert (merged["score_s"] - merged["score_l"]).abs().max() < 1e-12
+
+
+def test_neg_terms_boolean_not(spark, px_setup):
+    """neg_terms drops exactly the docs containing any negative term;
+    survivors keep their scores."""
+    from docinsight_spark.operators.postings import (
+        build_postings,
+        corpus_stats,
+        doc_stats,
+        term_stats,
+    )
+    from docinsight_spark.operators.query import bm25_scores, query_terms
+
+    pdf, toks = px_setup["pdf"], px_setup["toks"]
+    corpus = spark.createDataFrame(pdf)
+    postings = build_postings(corpus, code_aware=True).cache()
+    dstats, tstats = doc_stats(postings), term_stats(postings)
+    stats = corpus_stats(dstats)
+    t0 = sorted(set(toks.iloc[0]))
+    pos_terms, neg_term = t0[:2], t0[-1]
+    queries = spark.createDataFrame(
+        [(0, " ".join(pos_terms))], "query_id long, query_text string"
+    )
+    qt = query_terms(queries, code_aware=True)
+    negs = spark.createDataFrame([(0, neg_term)], "query_id long, term string")
+    loose = bm25_scores(qt, postings, tstats, dstats, stats).toPandas()
+    strict = bm25_scores(
+        qt, postings, tstats, dstats, stats, neg_terms=negs
+    ).toPandas()
+
+    ids = corpus.withColumn(
+        "docID", F.xxhash64("repo", "path", "commit")
+    ).select("path", "docID").toPandas()
+    banned = {
+        d for d, ts in zip(ids["docID"], toks, strict=True) if neg_term in set(ts)
+    }
+    assert banned, "picked neg term matches nothing — fixture broke"
+    assert set(strict["docID"]) == set(loose["docID"]) - banned
+    merged = strict.merge(loose, on=["query_id", "docID"], suffixes=("_s", "_l"))
+    assert len(merged) == len(strict)
+    assert len(strict) > 0
+    assert (merged["score_s"] - merged["score_l"]).abs().max() < 1e-12
