@@ -294,8 +294,10 @@ def cmd_report(args) -> int:
     text_col = "content" if "content" in qdocs.columns else "query_text"
     if id_col is None:
         qdocs = qdocs.withColumn("doc_id", F.xxhash64(text_col))
+    ew = getattr(args, "evidence_window", 0) or None
     sent, spans, orig = analyze_documents(
-        spark, args.index, qdocs, id_col="doc_id", text_col=text_col, k=args.k
+        spark, args.index, qdocs, id_col="doc_id", text_col=text_col,
+        k=args.k, evidence_window=ew,
     )
     top = top_risk_spans(spans, n=3)
     orig_rows = [r.asDict() for r in orig.collect()]
@@ -305,6 +307,24 @@ def cmd_report(args) -> int:
         "originality": orig_rows,
         "top_risk_spans": span_rows,
     }
+    if ew:
+        # matched-sentence evidence: per query doc, the 3 highest-fused
+        # sentences with their best-match doc + snippet offset
+        from pyspark.sql import Window
+
+        wv = F.row_number().over(
+            Window.partitionBy("doc_id")
+            .orderBy(F.col("fused_score").desc(), F.col("idx"))
+        )
+        ev = (
+            sent.filter(F.col("best_match") != "")
+            .withColumn("_r", wv)
+            .filter(F.col("_r") <= 3)
+            .select("doc_id", "idx", "sentence", "best_match",
+                    "match_snippet_start", "match_snippet_matches",
+                    "fused_score")
+        )
+        out["evidence"] = [r.asDict() for r in ev.collect()]
     if args.out:
         from docinsight_spark.report import render_html
 
@@ -435,6 +455,9 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--index", required=True)
     r.add_argument("--queries", required=True)
     r.add_argument("--k", type=int, default=10)
+    r.add_argument("--evidence-window", type=int, default=0,
+                   help="attach matched-sentence evidence spans of this "
+                        "many tokens (needs a --positions index)")
     r.add_argument("--out")
     r.set_defaults(fn=cmd_report)
 

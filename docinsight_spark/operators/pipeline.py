@@ -53,8 +53,17 @@ def analyze_documents(
     id_col: str = "doc_id",
     text_col: str = "content",
     k: int = 10,
+    evidence_window: int | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Full originality analysis of a batch of query documents."""
+    """Full originality analysis of a batch of query documents.
+
+    ``evidence_window``: when set (and the index stores positions), each
+    matched sentence also carries WHERE its best-match doc matched —
+    ``match_snippet_start`` / ``match_snippet_matches``, the offset and
+    term count of the best ``evidence_window``-token span
+    (:func:`docinsight_spark.index.phrase.snippet_windows`) — the
+    reference report's matched-sentence evidence display
+    (``analysis/report_builder.py``) re-expressed."""
     chunks = _chunks_of(docs, id_col, text_col).withColumn(
         "query_id", F.xxhash64("doc_id", "idx")
     ).cache()
@@ -62,7 +71,7 @@ def analyze_documents(
     hits = wand_search(spark, index_dir, queries, k=k)
     per_sentence = hits.join(
         F.broadcast(chunks.select("query_id", "doc_id", "idx")), "query_id"
-    ).select("doc_id", "idx", "rank", "docID", "score")
+    ).select("query_id", "doc_id", "idx", "rank", "docID", "score")
     # top hit = the sentence's best match; candidate-set normalization
     normed = S.minmax_normalize(per_sentence, "score", ["doc_id", "idx"], "semantic_norm")
     w = Window.partitionBy("doc_id", "idx").orderBy(F.col("rank"))
@@ -70,12 +79,45 @@ def analyze_documents(
         normed.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(
-            "doc_id", "idx",
+            "query_id", "doc_id", "idx",
             F.col("score").alias("semantic_raw"),
             "semantic_norm",
-            F.col("docID").cast("string").alias("best_match"),
+            F.col("docID").alias("_best_id"),
         )
     )
+    if evidence_window:
+        from docinsight_spark.functions.tokenizer import code_tokens_udf as _tok
+        from docinsight_spark.index import fsio as _fsio
+        from docinsight_spark.index.phrase import snippet_windows
+
+        _m = _fsio.read_json(f"{index_dir}/_meta.json")
+        if not _m.get("positions", False):
+            raise ValueError(
+                "evidence_window needs an index built with positions=True"
+            )
+        ev_qterms = chunks.select(
+            "query_id",
+            F.explode(
+                F.array_distinct(
+                    _tok(F.col("sentence"),
+                         F.lit(str(_m.get("query_lang", "java"))))
+                )
+            ).alias("term"),
+        )
+        sn = snippet_windows(
+            spark, index_dir,
+            best.select("query_id", F.col("_best_id").alias("docID")),
+            ev_qterms, window=evidence_window,
+        ).select(
+            "query_id",
+            F.col("docID").alias("_best_id"),
+            F.col("snippet_start").alias("match_snippet_start"),
+            F.col("n_matches").alias("match_snippet_matches"),
+        )
+        best = best.join(sn, ["query_id", "_best_id"], "left")
+    best = best.drop("query_id").withColumn(
+        "best_match", F.col("_best_id").cast("string")
+    ).drop("_best_id")
     sent = (
         chunks.join(best, ["doc_id", "idx"], "left")
         .fillna({"semantic_raw": 0.0, "semantic_norm": 0.0, "best_match": ""})

@@ -328,3 +328,37 @@ def test_fsck_positions_integrity(spark, ph_setup):
     out = ph_setup["b"].fsck()
     assert out["checks"]["positions_integrity"]["ok"], out
     assert out["ok"], out
+
+
+def test_report_pipeline_evidence_snippets(spark, ph_setup, tmp_path):
+    """analyze_documents(evidence_window=W): a sentence copied verbatim
+    from an indexed doc carries a non-null evidence span on its best
+    match; a positionless index is refused loudly."""
+    from docinsight_spark.operators.pipeline import analyze_documents
+
+    pdf = ph_setup["pdf"]
+    # query doc = two verbatim STATEMENT lines of an indexed doc
+    # (header/comment lines tokenize to nothing under comment stripping)
+    lines = [
+        ln for ln in pdf["content"][7].split("\n")
+        if ln.startswith(("    ", "        ")) and ln.strip()
+    ][:2]
+    assert lines, "fixture doc had no statement lines"
+    qdocs = spark.createDataFrame(
+        [(1, "\n".join(lines))], "doc_id long, content string"
+    )
+    sent, _spans, _orig = analyze_documents(
+        spark, ph_setup["idx"], qdocs, k=5, evidence_window=8
+    )
+    rows = sent.filter(F.col("best_match") != "").collect()
+    assert rows, "verbatim sentences found no match"
+    assert all(r["match_snippet_start"] is not None for r in rows)
+    assert all(r["match_snippet_matches"] >= 1 for r in rows)
+
+    # positionless index → loud
+    idx2 = str(tmp_path / "nopos3")
+    IndexBuilder(spark, idx2, n_buckets=2).build(
+        make_corpus(spark, 20, seed=81, partitions=2)
+    )
+    with pytest.raises(ValueError, match="positions"):
+        analyze_documents(spark, idx2, qdocs, k=3, evidence_window=8)
