@@ -113,12 +113,13 @@ def phrase_search(
     queries: DataFrame | list[tuple[int, str]],
     k: int = 10,
     code_aware: bool | None = None,
+    _meta: dict | None = None,
 ) -> DataFrame:
     """(query_id, rank, docID, score) — exact phrase top-k.
 
     ``queries``: (query_id, query_text) rows; each text is one phrase.
     Requires an index built with ``positions=True``."""
-    meta = fsio.read_json(f"{index_dir}/_meta.json")
+    meta = _meta or fsio.read_json(f"{index_dir}/_meta.json")
     if not meta.get("positions", False):
         raise ValueError(
             f"index at {index_dir} was built without positions=True; "
@@ -269,6 +270,7 @@ def snippet_windows(
     candidates: DataFrame,
     qterms: DataFrame,
     window: int = 8,
+    _meta: dict | None = None,
 ) -> DataFrame:
     """(query_id, docID, snippet_start, n_matches) — for each candidate
     (query_id, docID) pair, the token offset whose ``window``-token span
@@ -284,7 +286,7 @@ def snippet_windows(
     explode, and the window argmax is a per-(query, doc) self range-join
     over a handful of matched offsets — never a corpus-wide pass.
     Requires a ``positions=True`` index."""
-    meta = fsio.read_json(f"{index_dir}/_meta.json")
+    meta = _meta or fsio.read_json(f"{index_dir}/_meta.json")
     if not meta.get("positions", False):
         raise ValueError(
             f"index at {index_dir} was built without positions=True; "

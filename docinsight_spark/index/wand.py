@@ -321,6 +321,33 @@ class Searcher:
             _segments=self.segments, _meta=self.meta, _tstats=self.term_stats,
         )
 
+    def phrase(self, queries: DataFrame | list[tuple[int, str]],
+               k: int = 10) -> DataFrame:
+        """Exact phrase top-k in server mode (needs a positions=True
+        index); refresh-transparent like :meth:`search`.  (The merged
+        postings the phrase path scans are read per call — they are the
+        large artifact the Searcher deliberately does NOT pin.)"""
+        from docinsight_spark.index.phrase import phrase_search
+
+        if self.auto_reload:
+            self._maybe_reload()
+        return phrase_search(
+            self.spark, self.index_dir, queries, k=k, _meta=self.meta
+        )
+
+    def prefix(self, prefixes: list[tuple[int, str]], k: int = 10,
+               max_expansions: int = 16) -> DataFrame:
+        """Wildcard top-k in server mode; reuses the cached term_stats
+        and segment frames; refresh-transparent like :meth:`search`."""
+        if self.auto_reload:
+            self._maybe_reload()
+        return prefix_search(
+            self.spark, self.index_dir, prefixes, k=k,
+            max_expansions=max_expansions,
+            _meta=self.meta, _tstats=self.term_stats,
+            _segments=self.segments,
+        )
+
 
 # Query batches up to this many rows tokenize driver-side (saves one
 # Spark job per search call); larger batches — e.g. cmd_report feeding
@@ -763,6 +790,9 @@ def prefix_search(
     prefixes: list[tuple[int, str]],
     k: int = 10,
     max_expansions: int = 16,
+    _meta: dict | None = None,
+    _tstats: DataFrame | None = None,
+    _segments: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, rank, docID, score) — top-k BM25 over each prefix's
     expansion set (score = Σ per-term BM25 over the expanded terms, each
@@ -771,8 +801,10 @@ def prefix_search(
     The expansion is collected driver-side — bounded by
     ``len(prefixes) × max_expansions`` rows by construction — and fed to
     :func:`wand_search` as a prebuilt term map (no re-tokenization)."""
-    meta = _load_meta(index_dir)
-    tstats = load_term_stats(spark, index_dir, meta)
+    meta = _meta or _load_meta(index_dir)
+    tstats = _tstats if _tstats is not None else load_term_stats(
+        spark, index_dir, meta
+    )
     exp = expand_prefix(
         spark, index_dir, prefixes, max_expansions,
         _meta=meta, _tstats=tstats,
@@ -781,5 +813,6 @@ def prefix_search(
     for r in exp:
         qmap[int(r["query_id"])].append(r["term"])
     return wand_search(
-        spark, index_dir, None, k=k, _meta=meta, _tstats=tstats, _qmap=qmap
+        spark, index_dir, None, k=k, _meta=meta, _tstats=tstats,
+        _segments=_segments, _qmap=qmap,
     )

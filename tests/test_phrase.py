@@ -362,3 +362,52 @@ def test_report_pipeline_evidence_snippets(spark, ph_setup, tmp_path):
     )
     with pytest.raises(ValueError, match="positions"):
         analyze_documents(spark, idx2, qdocs, k=3, evidence_window=8)
+
+
+def test_searcher_phrase_prefix_refresh_transparent(spark, tmp_path):
+    """Server-mode phrase/prefix: results equal the direct functions,
+    and a refresh_delta is picked up without recreating the Searcher."""
+    from docinsight_spark.index.wand import Searcher, prefix_search
+
+    idx = str(tmp_path / "srv")
+    base = make_corpus(spark, 60, seed=91, partitions=2)
+    delta = make_corpus(spark, 30, seed=91, partitions=2, start=60)
+    b = IndexBuilder(spark, idx, n_buckets=4, positions=True)
+    b.build(base)
+    s = Searcher(spark, idx, cache=False)
+
+    dpdf = delta.toPandas().reset_index(drop=True)
+    phrase = _pick_phrase(dpdf, 2, 5, 2)
+    direct0 = {
+        (r["docID"], round(r["score"], 9))
+        for r in phrase_search(spark, idx, [(0, phrase)], k=50).collect()
+    }
+    via0 = {
+        (r["docID"], round(r["score"], 9))
+        for r in s.phrase([(0, phrase)], k=50).collect()
+    }
+    assert via0 == direct0
+
+    b.add_run(delta, "d1")
+    assert b.refresh_delta(fanin=2) is not None
+    # same Searcher now sees the generation
+    direct1 = {
+        (r["docID"], round(r["score"], 9))
+        for r in phrase_search(spark, idx, [(0, phrase)], k=50).collect()
+    }
+    via1 = {
+        (r["docID"], round(r["score"], 9))
+        for r in s.phrase([(0, phrase)], k=50).collect()
+    }
+    assert via1 == direct1 and len(direct1) > len(direct0)
+
+    pfx = phrase.split()[0][:2]
+    dp = {
+        (r["docID"], round(r["score"], 9))
+        for r in prefix_search(spark, idx, [(0, pfx)], k=20).collect()
+    }
+    vp = {
+        (r["docID"], round(r["score"], 9))
+        for r in s.prefix([(0, pfx)], k=20).collect()
+    }
+    assert vp == dp and dp
