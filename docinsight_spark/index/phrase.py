@@ -62,6 +62,11 @@ _JAVA_WS = re.compile("[ \t\n\x0b\f\r]+")
 # MB of driver rows, the same budget the WAND wave chunking protects
 MAX_PHRASE_BATCH = 100_000
 
+# candidate (query_id, docID) sets up to this size collect driver-side:
+# the semi-join becomes a literal broadcast and the candidates' buckets
+# partition-prune the positions read; larger sets stay a lazy plan
+CAND_COLLECT_MAX = 200_000
+
 
 def _phrase_offsets(
     rows: list[tuple[int, str]], code_aware: bool, lang: str
@@ -184,9 +189,49 @@ def phrase_search(
         .select("query_id", "docID")
     )
 
-    heavy = _union_frames(
-        [scan(r, s, ["term", "docID", "positions"]) for r, s in roots]
+    # Bucket-level partition pruning for the positions read: the merged
+    # postings are partitioned by doc_bucket, and a selective phrase's
+    # candidates usually live in few buckets.  Candidate sets small
+    # enough to hold driver-side (the common phrase) are collected ONCE:
+    # the semi-join side becomes a literal broadcast (the lite pre-pass
+    # never re-executes) and their distinct buckets prune the heavy
+    # scan's partition listing — the hot-term positions read only
+    # touches buckets that can produce a match.  Oversized candidate
+    # sets (a phrase of only stopwords) fall back to the lazy plan with
+    # no pruning — correctness identical either way.
+    n_buckets = int(meta["n_buckets"])
+    cand_rows = cand.limit(CAND_COLLECT_MAX + 1).collect()
+    if len(cand_rows) <= CAND_COLLECT_MAX:
+        if not cand_rows:
+            return empty
+        cand = spark.createDataFrame(
+            [(int(r["query_id"]), int(r["docID"])) for r in cand_rows],
+            "query_id long, docID long",
+        )
+        # python % with a positive modulus is non-negative, matching
+        # Spark's pmod on the build side
+        buckets = sorted({int(r["docID"]) % n_buckets for r in cand_rows})
+    else:
+        buckets = None
+    return _score_phrase_hits(
+        spark, index_dir, meta, roots, scan, offs, noff, cand,
+        buckets if buckets is not None and len(buckets) < n_buckets else None,
+        k,
     )
+
+
+def _score_phrase_hits(
+    spark, index_dir, meta, roots, scan, offs, noff, cand, buckets, k
+) -> DataFrame:
+    heavy = _union_frames(
+        [
+            scan(r, s, ["term", "docID", "positions", "doc_bucket"])
+            for r, s in roots
+        ]
+    )
+    if buckets is not None:
+        heavy = heavy.filter(F.col("doc_bucket").isin(buckets))
+    heavy = heavy.drop("doc_bucket")
     tomb = load_tombstone_pairs(spark, index_dir, meta)
     if tomb is not None:
         heavy = heavy.join(
@@ -298,15 +343,37 @@ def snippet_windows(
             [], "query_id long, docID long, snippet_start int, n_matches long"
         )
     roots = merged_roots(index_dir, meta)
+    cand = candidates.select("query_id", "docID").distinct()
+    # same bounded-collect + bucket pruning as phrase_search: snippet
+    # candidates are a top-k result (tiny) in every real caller, so the
+    # positions read lists only their buckets
+    n_buckets = int(meta["n_buckets"])
+    buckets = None
+    cand_rows = cand.limit(CAND_COLLECT_MAX + 1).collect()
+    if len(cand_rows) <= CAND_COLLECT_MAX:
+        if not cand_rows:
+            return spark.createDataFrame(
+                [], "query_id long, docID long, snippet_start int, n_matches long"
+            )
+        cand = spark.createDataFrame(
+            [(int(r["query_id"]), int(r["docID"])) for r in cand_rows],
+            "query_id long, docID long",
+        )
+        bset = sorted({int(r["docID"]) % n_buckets for r in cand_rows})
+        if len(bset) < n_buckets:
+            buckets = bset
     rows = _union_frames(
         [
             spark.read.parquet(src)
             .filter(F.col("term").isin(terms))
-            .select("term", "docID", "positions")
+            .select("term", "docID", "positions", "doc_bucket")
             .withColumn("_root", F.lit(rid))
             for rid, src in roots
         ]
     )
+    if buckets is not None:
+        rows = rows.filter(F.col("doc_bucket").isin(buckets))
+    rows = rows.drop("doc_bucket")
     tomb = load_tombstone_pairs(spark, index_dir, meta)
     if tomb is not None:
         rows = rows.join(
@@ -314,7 +381,6 @@ def snippet_windows(
             ["docID", "_root"],
             "left_anti",
         )
-    cand = candidates.select("query_id", "docID").distinct()
     mpos = (
         rows.join(F.broadcast(qterms), "term")
         .join(F.broadcast(cand), ["query_id", "docID"], "left_semi")

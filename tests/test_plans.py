@@ -189,15 +189,29 @@ def pos_index(spark, tmp_path_factory, tiny_corpus):
     return d
 
 
-def test_phrase_term_pushdown_and_positions_pruning(spark, pos_index):
+@pytest.fixture(scope="module")
+def real_bigram(tiny_corpus):
+    """A phrase that actually matches (adjacent tokens of a corpus doc)
+    — an unmatched phrase short-circuits to a literal empty frame with
+    no scans to pin."""
+    from docinsight_spark.functions.tokenizer import tokenize_code_pandas
+
+    pdf = tiny_corpus.limit(1).toPandas()
+    ts = list(tokenize_code_pandas(pdf["content"], pdf["lang"])[0])
+    return " ".join(ts[4:6])
+
+
+def test_phrase_term_pushdown_and_positions_pruning(spark, pos_index, monkeypatch):
     """The phrase plan's postings scans must (a) push the term IN-list
     into parquet (row-group skipping on the term-sorted layout) and
     (b) keep positions bytes out of the candidate pre-pass: at least
     one postings scan reads WITHOUT the positions column, and only the
-    adjacency branch reads it."""
-    from docinsight_spark.index.phrase import phrase_search
+    adjacency branch reads it.  Pinned on the lazy fallback plan
+    (CAND_COLLECT_MAX=0), where both branches are visible in one plan."""
+    from docinsight_spark.index import phrase as P
 
-    res = phrase_search(spark, pos_index, [(0, "public static")], k=5)
+    monkeypatch.setattr(P, "CAND_COLLECT_MAX", -1)
+    res = P.phrase_search(spark, pos_index, [(0, "public static")], k=5)
     p = plan_text(res)
     pushed = [l for l in p.splitlines() if "PushedFilters" in l]
     assert any("In(term" in l for l in pushed), "\n".join(pushed)
@@ -206,6 +220,23 @@ def test_phrase_term_pushdown_and_positions_pruning(spark, pos_index):
     heavy = [l for l in reads if "positions" in l]
     assert lite, "candidate pre-pass reads positions bytes:\n" + "\n".join(reads)
     assert heavy, "no scan reads positions at all:\n" + "\n".join(reads)
+
+
+def test_phrase_collected_candidates_prune_buckets(spark, pos_index, real_bigram):
+    """On the collected-candidates path (the common phrase) the heavy
+    positions scan must carry a doc_bucket partition filter — the
+    positions read only lists buckets that can produce a match."""
+    from docinsight_spark.index.phrase import phrase_search
+
+    res = phrase_search(spark, pos_index, [(0, real_bigram)], k=5)
+    p = plan_text(res)
+    part = [
+        l for l in p.splitlines()
+        if "PartitionFilters" in l and "doc_bucket" in l
+    ]
+    assert any("IN" in l or "isin" in l or "in(" in l.lower() for l in part), (
+        "no doc_bucket partition filter on the positions scan:\n" + p
+    )
 
 
 def test_phrase_encode_input_prunes_positions(spark, pos_index, tiny_corpus):
