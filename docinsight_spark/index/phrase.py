@@ -67,6 +67,21 @@ MAX_PHRASE_BATCH = 100_000
 # partition-prune the positions read; larger sets stay a lazy plan
 CAND_COLLECT_MAX = 200_000
 
+# past this many distinct terms, the postings scan's term restriction
+# switches from an IN-list literal (row-group pruning) to a broadcast
+# semi-join — the same threshold the WAND scan uses (a 10^5-term IN
+# predicate bloats the plan and the parquet filter evaluation)
+TERM_INLIST_MAX = 1024
+
+
+def _restrict_terms(df: DataFrame, terms: list[str]) -> DataFrame:
+    if len(terms) <= TERM_INLIST_MAX:
+        return df.filter(F.col("term").isin(terms))
+    tdf = df.sparkSession.createDataFrame(
+        [(t,) for t in terms], "term string"
+    )
+    return df.join(F.broadcast(tdf), "term", "left_semi")
+
 
 def _phrase_offsets(
     rows: list[tuple[int, str]], code_aware: bool, lang: str
@@ -169,8 +184,7 @@ def phrase_search(
 
     def scan(rid: str, src: str, cols: list[str]) -> DataFrame:
         return (
-            spark.read.parquet(src)
-            .filter(F.col("term").isin(all_terms))
+            _restrict_terms(spark.read.parquet(src), all_terms)
             .select(*cols)
             .withColumn("_root", F.lit(rid))
         )
@@ -337,7 +351,13 @@ def snippet_windows(
             f"index at {index_dir} was built without positions=True; "
             "snippets need positional postings"
         )
-    terms = [r["term"] for r in qterms.select("term").distinct().collect()]
+    thead = qterms.select("term").distinct().limit(1_000_001).collect()
+    if len(thead) > 1_000_000:
+        raise ValueError(
+            "snippet qterms exceed 1M distinct terms; split the batch "
+            "(the term restriction is driver-resident)"
+        )
+    terms = [r["term"] for r in thead]
     if not terms:
         return spark.createDataFrame(
             [], "query_id long, docID long, snippet_start int, n_matches long"
@@ -364,8 +384,7 @@ def snippet_windows(
             buckets = bset
     rows = _union_frames(
         [
-            spark.read.parquet(src)
-            .filter(F.col("term").isin(terms))
+            _restrict_terms(spark.read.parquet(src), terms)
             .select("term", "docID", "positions", "doc_bucket")
             .withColumn("_root", F.lit(rid))
             for rid, src in roots
