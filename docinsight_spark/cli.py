@@ -164,6 +164,96 @@ def cmd_delete(args) -> int:
     return 0
 
 
+def cmd_stats(args) -> int:
+    """Corpus + index statistics — the reference's ``stats`` command
+    (``/root/reference/docinsight_cli.py:108-145``: document counts,
+    source breakdown, index status/coverage) as one JSON object."""
+    from pyspark.sql import functions as F
+
+    from docinsight_spark.index import fsio
+    from docinsight_spark.index.builder import IndexBuilder
+
+    spark = _spark("docinsight_stats")
+    if not fsio.exists(f"{args.index.rstrip('/')}/_meta.json"):
+        print(json.dumps({"available": False, "index": args.index}))
+        return 1
+    b = IndexBuilder.for_index(spark, args.index)
+    meta = b.meta()
+    dim = b.docs_dim()
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in dim.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    top_repos = [
+        {"repo": r["repo"], "docs": r["n"]}
+        for r in dim.groupBy("repo")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "repo")
+        .limit(10)
+        .collect()
+    ]
+    runs = [m for m in b.manifests() if m["unit"].startswith("run-")]
+    covered = b._covered_runs()
+    fin = [m for m in b.manifests() if m["unit"] == "finalize"]
+    out = {
+        "available": True,
+        "index": args.index,
+        "documents": int(meta["n_docs"]),
+        "total_tokens": int(meta["sum_dl"]),
+        "avgdl": round(float(meta["avgdl"]), 3),
+        "version": meta.get("version"),
+        "code_aware": meta.get("code_aware"),
+        "positions": meta.get("positions", False),
+        "query_lang": meta.get("query_lang"),
+        "generations": [g["id"] for g in meta.get("generations", [])],
+        "tombstoned_docs": sum(
+            int(t["n_docs"]) for t in meta.get("tombstones", [])
+        ),
+        "runs_total": len(runs),
+        "runs_covered": sum(1 for m in runs if m["run_id"] in covered),
+        "coverage": round(
+            sum(1 for m in runs if m["run_id"] in covered) / max(len(runs), 1),
+            4,
+        ),
+        "postings_merged": int(fin[0].get("postings_merged", 0)) if fin else 0,
+        "segments_built": int(fin[0].get("segments_built", 0)) if fin else 0,
+        "bytes_compressed": int(fin[0].get("bytes_compressed", 0)) if fin else 0,
+        "docs_by_lang": by_lang,
+        "top_repos": top_repos,
+    }
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_embed(args) -> int:
+    """Incremental text→embedding featurization — the reference's
+    ``embed`` command (``docinsight_cli.py:268-288``: process chunks
+    WHERE embedding IS NULL).  Here: featurize only corpus docs whose
+    docID is not already in the output dataset, and append."""
+    from pyspark.sql import functions as F
+
+    from docinsight_spark.index import fsio
+    from docinsight_spark.operators.embedder import featurize_text
+    from docinsight_spark.operators.postings import with_doc_id
+    from docinsight_spark.sources.tables import read_corpus
+
+    spark = _spark("docinsight_embed")
+    docs = with_doc_id(read_corpus(spark, args.corpus)).dropDuplicates(["docID"])
+    existed = fsio.exists(args.out)
+    if existed:
+        seen = spark.read.parquet(args.out).select("docID")
+        docs = docs.join(seen, "docID", "left_anti")
+    emb = featurize_text(
+        docs, text_col="content", dim=args.dim, seed=args.seed
+    ).select("docID", "repo", "path", "commit", "embedding")
+    n = emb.count()
+    if n:
+        emb.write.mode("append" if existed else "overwrite").parquet(args.out)
+    print(json.dumps({"status": "embedded", "new_docs": int(n),
+                      "dim": args.dim, "out": args.out}))
+    return 0
+
+
 def cmd_fsck(args) -> int:
     """Index integrity audit: stats identity, footer counts per root,
     tombstone accounting, run coverage, merged-source survival.  Exits
@@ -431,6 +521,20 @@ def main(argv: list[str] | None = None) -> int:
                                     "counters + lineage; exit 1 on fail)")
     f.add_argument("--index", required=True)
     f.set_defaults(fn=cmd_fsck)
+
+    st = sub.add_parser("stats", help="corpus + index statistics (JSON)")
+    st.add_argument("--index", required=True)
+    st.set_defaults(fn=cmd_stats)
+
+    e = sub.add_parser(
+        "embed",
+        help="incremental text->embedding featurization (only docs not "
+             "already in --out are featurized; appends)")
+    e.add_argument("--corpus", required=True)
+    e.add_argument("--out", required=True)
+    e.add_argument("--dim", type=int, default=64)
+    e.add_argument("--seed", type=int, default=42)
+    e.set_defaults(fn=cmd_embed)
 
     q = sub.add_parser("query", help="BM25 top-k search")
     q.add_argument("--index", required=True)

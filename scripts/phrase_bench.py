@@ -103,8 +103,14 @@ def main() -> None:
             out["merged_bytes_positional"] / max(out["merged_bytes_plain"], 1), 3
         )
 
-        # real phrases: adjacent token pairs/triples sampled from corpus docs
-        pdf = corpus.limit(N_QUERIES * 3).toPandas()
+        # real phrases: adjacent token pairs/triples from the corpus
+        # GENERATOR (deterministic across partitionings/runs — limit()
+        # would sample different docs per run)
+        from docinsight_spark.corpus import gen_file
+
+        pdf = pd.DataFrame(
+            [gen_file(i, 5) for i in range(N_QUERIES * 3)]
+        )
         toks = tokenize_code_pandas(pdf["content"], pdf["lang"])
         phrases: list[tuple[int, str]] = []
         for i, ts in enumerate(toks):

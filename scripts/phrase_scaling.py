@@ -72,9 +72,15 @@ try:
     b = IndexBuilder(spark, idx, n_buckets=32, positions=True)
     b.build(corpus, n_runs=2, fanin=2, dedup_within_run=False)
     build_s = time.time() - t0
-    # deterministic phrase set from the same corpus (identical per level)
-    pdf = corpus.limit(3 * N_PHRASES).toPandas().sort_values("path")
-    toks = tokenize_code_pandas(pdf["content"], pdf["lang"])
+    # deterministic phrase set straight from the corpus GENERATOR (not a
+    # limit() sample — limit is partitioning-dependent, which would give
+    # each parallelism level a different workload): doc i's tokens are
+    # identical on every level by construction
+    import pandas as pd
+    from docinsight_spark.corpus import gen_file
+
+    gpdf = pd.DataFrame([gen_file(i, 42, (30, 80)) for i in range(3 * N_PHRASES)])
+    toks = tokenize_code_pandas(gpdf["content"], gpdf["lang"])
     phrases = []
     for i, ts in enumerate(toks):
         if len(phrases) >= N_PHRASES:
