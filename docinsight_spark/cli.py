@@ -261,7 +261,9 @@ def cmd_fsck(args) -> int:
     from docinsight_spark.index.builder import IndexBuilder
 
     spark = _spark("docinsight_fsck")
-    out = IndexBuilder.for_index(spark, args.index).fsck()
+    out = IndexBuilder.for_index(spark, args.index).fsck(
+        deep=getattr(args, "deep", False)
+    )
     print(json.dumps(out))
     return 0 if out["ok"] else 1
 
@@ -287,17 +289,16 @@ def cmd_query(args) -> int:
         )
     else:
         # or|and modes; words prefixed `-` are boolean-NOT exclusions
-        # (`spark join -slow`).  Plain OR with no exclusions takes the
-        # block-max fast path; AND / NOT take the exact one-scan path
-        # over the index's materialized relations.
-        from docinsight_spark.index.wand import _load_meta, wand_search
+        # (`spark join -slow`).  ALL boolean shapes take the block-max
+        # fast path (round 6): AND via the kernel's mandatory-term
+        # intersection, NOT via pre-accumulation exclusion.
+        from docinsight_spark.index.wand import wand_search
 
         rows = [
             (int(r["query_id"]), r["query_text"] or "")
             for r in queries.select("query_id", "query_text").collect()
         ]
-        neg_pairs, pos_rows = [], []
-        meta = _load_meta(args.index)
+        neg_rows, pos_rows = [], []
         for qid, text in rows:
             words = text.split()
             negs = [w[1:] for w in words if w.startswith("-") and len(w) > 1]
@@ -305,32 +306,21 @@ def cmd_query(args) -> int:
                 (qid, " ".join(w for w in words if not w.startswith("-")))
             )
             if negs:
-                from docinsight_spark.index.phrase import _phrase_offsets
-
-                neg_pairs += [
-                    (q, t)
-                    for q, _off, t in _phrase_offsets(
-                        [(qid, " ".join(negs))],
-                        bool(meta.get("code_aware", True)),
-                        str(meta.get("query_lang", "java")),
-                    )
-                ]
-        if mode == "and" or neg_pairs:
-            from docinsight_spark.evaluation import oracle_from_index
-
+                neg_rows.append((qid, " ".join(negs)))
+        if mode == "and" or neg_rows:
             pos_df = spark.createDataFrame(
                 pos_rows, "query_id long, query_text string"
             )
             neg_df = (
                 spark.createDataFrame(
-                    sorted(set(neg_pairs)), "query_id long, term string"
+                    neg_rows, "query_id long, query_text string"
                 )
-                if neg_pairs
+                if neg_rows
                 else None
             )
-            res = oracle_from_index(
+            res = wand_search(
                 spark, args.index, pos_df, k=args.k,
-                require_all=(mode == "and"), neg_terms=neg_df,
+                require_all=(mode == "and"), neg_queries=neg_df,
             )
         else:
             res = wand_search(spark, args.index, queries, k=args.k)
@@ -341,14 +331,25 @@ def cmd_query(args) -> int:
         from docinsight_spark.index.wand import _load_meta, _query_term_map
 
         meta = _load_meta(args.index)
-        qm = _query_term_map(
-            queries, bool(meta.get("code_aware", True)), 100_000,
-            str(meta.get("query_lang", "java")),
-        ) or {}
-        qt = spark.createDataFrame(
-            [(q, t) for q, ts in qm.items() for t in ts],
-            "query_id long, term string",
-        )
+        if mode == "prefix":
+            # the literal prefix strings ("fi") are not index terms —
+            # snippet qterms must be the expanded dictionary terms the
+            # retrieval actually matched
+            from docinsight_spark.index.wand import expand_prefix
+
+            qt = expand_prefix(
+                spark, args.index, prefixes,
+                max_expansions=args.max_expansions, _meta=meta,
+            ).select("query_id", "term")
+        else:
+            qm = _query_term_map(
+                queries, bool(meta.get("code_aware", True)), 100_000,
+                str(meta.get("query_lang", "java")),
+            ) or {}
+            qt = spark.createDataFrame(
+                [(q, t) for q, ts in qm.items() for t in ts],
+                "query_id long, term string",
+            )
         sn = snippet_windows(
             spark, args.index, res.select("query_id", "docID"), qt,
             window=args.snippet_window,
@@ -435,7 +436,14 @@ def cmd_report(args) -> int:
 
 
 def main(argv: list[str] | None = None) -> int:
-    p = argparse.ArgumentParser(prog="docinsight_spark")
+    p = argparse.ArgumentParser(
+        prog="docinsight_spark",
+        epilog="Concurrency: mutating commands (build/ingest/compact/"
+               "delete) take a TTL writer lease on the index dir. The "
+               "lease create is atomic on local/POSIX filesystems only; "
+               "on object stores (s3://, gs://) it is advisory — "
+               "serialize writers by deployment convention there.",
+    )
     sub = p.add_subparsers(dest="cmd", required=True)
 
     b = sub.add_parser("build", help="build the inverted index")
@@ -520,6 +528,11 @@ def main(argv: list[str] | None = None) -> int:
     f = sub.add_parser("fsck", help="index integrity audit (footer "
                                     "counters + lineage; exit 1 on fail)")
     f.add_argument("--index", required=True)
+    f.add_argument("--deep", action="store_true",
+                   help="also verify positional postings integrity — an "
+                        "O(corpus) Spark scan per live root on a "
+                        "positions=True index (default checks are "
+                        "footer/manifest reads only)")
     f.set_defaults(fn=cmd_fsck)
 
     st = sub.add_parser("stats", help="corpus + index statistics (JSON)")
@@ -542,11 +555,12 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--mode", choices=["or", "and", "phrase", "prefix"],
                    default="or",
-                   help="or: BM25 bag-of-words (WAND fast path); and: every "
-                        "term required (exact path); phrase: exact adjacency "
-                        "(needs a positions=True index); prefix: wildcard "
-                        "`pre*` dictionary expansion.  In or/and modes, "
-                        "`-word` excludes docs containing it (boolean NOT)")
+                   help="or: BM25 bag-of-words; and: every term required "
+                        "(both on the block-max WAND fast path); phrase: "
+                        "exact adjacency (needs a positions=True index); "
+                        "prefix: wildcard `pre*` dictionary expansion.  In "
+                        "or/and modes, `-word` excludes docs containing it "
+                        "(boolean NOT, also on the fast path)")
     q.add_argument("--max-expansions", type=int, default=16,
                    help="prefix mode: expansion cap per prefix (highest df)")
     q.add_argument("--snippet-window", type=int, default=0,

@@ -1864,30 +1864,41 @@ SELECT query_id, rank, doc_id, score FROM (
 
 @_register("bm25_and_topk", _bm25_and_oracle_sql(_AND_QUERY_TERMS))
 def bm25_and_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Conjunctive BM25 top-10: every query term required."""
-    postings = postings_tf(spark, sf_dir).cache()
-    dstats = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    tstats = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    crow = dstats.agg(
-        F.count(F.lit(1)).cast("double").alias("n"), F.avg("dl").alias("avgdl")
-    ).collect()[0]
-    qterms = spark.createDataFrame(_AND_QUERY_TERMS, "query_id long, term string")
-    nq = qterms.groupBy("query_id").agg(F.count(F.lit(1)).alias("_nq"))
-    scored = (
-        postings.join(F.broadcast(qterms.join(tstats, "term")), "term")
-        .join(dstats, "doc_id")
-        .withColumn(
-            "contrib",
-            bm25_score_col(F.col("tf"), F.col("df"), F.col("dl"),
-                           float(crow["n"]), float(crow["avgdl"])),
-        )
-        .groupBy("query_id", "doc_id")
-        .agg(
-            F.round(F.sum("contrib"), 4).alias("score"),
-            F.count(F.lit(1)).alias("_hits"),
-        )
-        .join(F.broadcast(nq), "query_id")
-        .filter(F.col("_hits") == F.col("_nq"))
+    """Conjunctive BM25 top-10 via the BLOCK-MAX FAST PATH (round 6):
+    the WAND kernel's mandatory-term intersection (rarest-first
+    candidate shrinking, ``wand_search(require_all=True)``) replays the
+    exact strict-AND SQL oracle end-to-end through the compressed
+    segment index."""
+    import tempfile
+
+    from docinsight_spark.index.builder import IndexBuilder
+    from docinsight_spark.index.wand import wand_search
+
+    docs = _docs(spark, sf_dir).select(
+        F.lit("sf/docs").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id")).alias("path"),
+        F.lit("0000").alias("commit"),
+        F.lit("en").alias("lang"),
+        F.col("text").alias("content"),
+    )
+    idx = tempfile.mkdtemp(prefix="contract_wandand_")
+    b = IndexBuilder(spark, idx, n_buckets=8, code_aware=False)
+    b.build(docs)
+    texts: dict[int, list[str]] = {}
+    for q, t in _AND_QUERY_TERMS:
+        texts.setdefault(q, []).append(t)
+    queries = spark.createDataFrame(
+        sorted((q, " ".join(ts)) for q, ts in texts.items()),
+        "query_id long, query_text string",
+    )
+    res = wand_search(
+        spark, idx, queries, k=_WAND_OVERFETCH, require_all=True
+    )
+    dim = b.docs_dim().select(
+        "docID", F.expr("CAST(substr(path, 5) AS LONG)").alias("doc_id")
+    )
+    scored = res.join(dim, "docID").select(
+        "query_id", "doc_id", F.round("score", 4).alias("score")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
     return (
@@ -1963,31 +1974,48 @@ SELECT query_id, rank, doc_id, score FROM (
 
 @_register("bm25_not_topk", _bm25_not_oracle_sql())
 def bm25_not_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Boolean-NOT BM25 top-10: docs with any negative term excluded."""
-    postings = postings_tf(spark, sf_dir).cache()
-    dstats = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    tstats = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    crow = dstats.agg(
-        F.count(F.lit(1)).cast("double").alias("n"), F.avg("dl").alias("avgdl")
-    ).collect()[0]
-    qterms = spark.createDataFrame(_NOT_QUERY_TERMS, "query_id long, term string")
-    negs = spark.createDataFrame(_NOT_NEG_TERMS, "query_id long, term string")
-    banned = (
-        postings.join(F.broadcast(negs), "term")
-        .select("query_id", "doc_id")
-        .distinct()
+    """Boolean-NOT BM25 top-10 via the BLOCK-MAX FAST PATH (round 6):
+    the WAND kernel excludes banned docs BEFORE accumulation (so the
+    top-k threshold never inflates on a doc about to be banned),
+    replaying the exact anti-join SQL oracle through the compressed
+    segment index."""
+    import tempfile
+
+    from docinsight_spark.index.builder import IndexBuilder
+    from docinsight_spark.index.wand import wand_search
+
+    docs = _docs(spark, sf_dir).select(
+        F.lit("sf/docs").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id")).alias("path"),
+        F.lit("0000").alias("commit"),
+        F.lit("en").alias("lang"),
+        F.col("text").alias("content"),
     )
-    scored = (
-        postings.join(F.broadcast(qterms.join(tstats, "term")), "term")
-        .join(dstats, "doc_id")
-        .withColumn(
-            "contrib",
-            bm25_score_col(F.col("tf"), F.col("df"), F.col("dl"),
-                           float(crow["n"]), float(crow["avgdl"])),
-        )
-        .groupBy("query_id", "doc_id")
-        .agg(F.round(F.sum("contrib"), 4).alias("score"))
-        .join(banned, ["query_id", "doc_id"], "left_anti")
+    idx = tempfile.mkdtemp(prefix="contract_wandnot_")
+    b = IndexBuilder(spark, idx, n_buckets=8, code_aware=False)
+    b.build(docs)
+    pos: dict[int, list[str]] = {}
+    for q, t in _NOT_QUERY_TERMS:
+        pos.setdefault(q, []).append(t)
+    neg: dict[int, list[str]] = {}
+    for q, t in _NOT_NEG_TERMS:
+        neg.setdefault(q, []).append(t)
+    queries = spark.createDataFrame(
+        sorted((q, " ".join(ts)) for q, ts in pos.items()),
+        "query_id long, query_text string",
+    )
+    neg_queries = spark.createDataFrame(
+        sorted((q, " ".join(ts)) for q, ts in neg.items()),
+        "query_id long, query_text string",
+    )
+    res = wand_search(
+        spark, idx, queries, k=_WAND_OVERFETCH, neg_queries=neg_queries
+    )
+    dim = b.docs_dim().select(
+        "docID", F.expr("CAST(substr(path, 5) AS LONG)").alias("doc_id")
+    )
+    scored = res.join(dim, "docID").select(
+        "query_id", "doc_id", F.round("score", 4).alias("score")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
     return (

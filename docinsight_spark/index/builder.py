@@ -136,13 +136,33 @@ def read_manifests(index_dir: str) -> list[dict]:
     per-unit files (a loose file overrides its ledger copy — it is the
     newer write).  Only committed manifests count: a crash between
     tmp-write and rename leaves *.json.tmp.<pid> files that must not
-    count as lineage."""
+    count as lineage.
+
+    Safe against a concurrent :meth:`IndexBuilder.fold_ledger`: the
+    writer deletes a loose file only AFTER its copy landed in the
+    ledger, so a loose file that vanishes between the directory listing
+    and its read is simply re-served from a fresh ledger read — readers
+    stay unrestricted during a refresh/compact/delete, per the
+    concurrency contract."""
     units = _read_ledger(index_dir)
+    loose: dict[str, dict] = {}
+    raced = False
     for fn in fsio.listdir(f"{index_dir}/manifests"):
         if not fn.endswith(".json") or fn == _LEDGER:
             continue
-        m = fsio.read_json(f"{index_dir}/manifests/{fn}")
-        units[m.get("unit", fn[: -len(".json")])] = m
+        try:
+            m = fsio.read_json(f"{index_dir}/manifests/{fn}")
+        except (FileNotFoundError, OSError):
+            raced = True  # folded away mid-read; its ledger copy exists
+            continue
+        loose[m.get("unit", fn[: -len(".json")])] = m
+    if raced:
+        # the fold committed the ledger BEFORE deleting the loose file,
+        # so a fresh ledger read is guaranteed to contain the folded
+        # unit (and supersedes the stale first read); loose copies that
+        # WERE read stay on top — they are at least as new as any ledger
+        units.update(_read_ledger(index_dir))
+    units.update(loose)
     return list(units.values())
 
 
@@ -365,7 +385,18 @@ class IndexBuilder:
         committing), and releases it at op end.  A crashed writer's
         lease expires after ``lease_ttl_sec`` and is taken over; size
         the TTL above the longest gap between manifest commits (one
-        merge wave / one segment encode).  Readers are unrestricted:
+        merge wave / one segment encode).  CAVEAT (object stores): the
+        lease create is truly atomic (O_CREAT|O_EXCL) only on local /
+        POSIX filesystems; on S3/GCS-style stores pyarrow.fs exposes
+        no conditional put, so acquisition is check-then-put and the
+        stale-lease takeover is remove-then-create — two SIMULTANEOUS
+        writers racing within one round trip can both believe they
+        hold it.  There the lease is advisory: it catches every
+        non-simultaneous second writer, but deployments on shared
+        object storage must serialize writers by convention (one
+        scheduler/driver), or swap ``fsio.create_exclusive_json`` for
+        a backend conditional put (S3 If-None-Match / GCS generation
+        preconditions).  Readers are unrestricted:
         they see exactly the generations committed in ``_meta.json``
         (atomic tmp+rename), so queries run safely DURING a refresh and
         flip to the new generation set atomically.
@@ -1576,11 +1607,15 @@ class IndexBuilder:
             )
         return did
 
-    def fsck(self) -> dict:
-        """Index integrity audit — footer-counter and lineage checks, no
-        full-data Spark job (the reference's integrity surface is
-        SQLite's implicit constraints; a file-based index needs an
-        explicit auditor).  Verifies:
+    def fsck(self, deep: bool = False) -> dict:
+        """Index integrity audit — footer-counter and lineage checks;
+        everything in the DEFAULT mode is driver-side footer/manifest
+        reads, no full-data Spark job (the reference's integrity surface
+        is SQLite's implicit constraints; a file-based index needs an
+        explicit auditor).  ``deep=True`` adds the positional-integrity
+        check on ``positions=True`` indexes, which IS an O(corpus) Spark
+        aggregation over every live root's merged postings — run it
+        deliberately, not routinely.  Verifies:
 
         * the global stats identity  n_docs = base + Σgenerations −
           Σtombstones  (and sum_dl / avgdl consistency),
@@ -1706,11 +1741,12 @@ class IndexBuilder:
             final[0].get("source", "missing") if final else "missing",
         )
 
-        if meta.get("positions", False) and final:
-            # positional integrity: every live root's merged postings must
-            # carry the positions column with Σ size(positions) == Σ tf —
-            # a root whose positions were lost (e.g. a mixed-settings
-            # writer) would leave phrase search silently blind/wrong
+        if deep and meta.get("positions", False) and final:
+            # positional integrity (deep-only: O(corpus) scan per root):
+            # every live root's merged postings must carry the positions
+            # column with Σ n_positions == Σ tf — a root whose positions
+            # were lost (e.g. a mixed-settings writer) would leave
+            # phrase search silently blind/wrong
             srcs = [("base", f"{final[0]['source']}/postings")] + [
                 (g["id"], f"{g['merged_source']}/postings")
                 for g in gens if g.get("merged_source")
@@ -1927,7 +1963,25 @@ class IndexBuilder:
         src = f"{groot}/merged/fold"
         unit = f"genmerge-{gid}-fold"
         prior = self._manifest(unit) or {}
-        if prior.get("status") != "complete" or prior.get("covers") != vsrcs:
+        # Fold-resume guard: covers==vsrcs alone is NOT enough — the fold
+        # also baked in the tombstone state it excluded.  If a compact
+        # crashed after committing this fold and delete_docs then marked
+        # docs in a victim root, a resume reusing the stale fold would
+        # carry the new victims' postings into the new generation while
+        # the meta commit below drops their markers — silent
+        # resurrection of just-deleted docs.  Fingerprint the victim
+        # roots' tombstone state and re-fold when it differs.
+        tomb_fp = sorted(
+            [t["id"], rid, int(v["n_docs"])]
+            for t in meta.get("tombstones", [])
+            for rid, v in t.get("per_root", {}).items()
+            if rid in victims
+        )
+        if (
+            prior.get("status") != "complete"
+            or prior.get("covers") != vsrcs
+            or prior.get("tomb_fp", []) != tomb_fp
+        ):
             tomb = self._tombstone_docs_for_roots(victims)
             if tomb is not None:
                 # physical delete reclaim: victims' tombstoned COPIES do
@@ -1964,7 +2018,7 @@ class IndexBuilder:
             )
             self._commit(
                 unit, inputs=vsrcs, covers=vsrcs, postings_merged=n_fold,
-                postings_per_bucket=per_bucket,
+                postings_per_bucket=per_bucket, tomb_fp=tomb_fp,
             )
         survivors = [g for g in gens if g["id"] not in victims]
         empty_fold = (

@@ -32,6 +32,15 @@ shard-per-bucket design):
 4. Each (shard, query) emits its local top-k; the global merge is a
    tiny ``shards × k``-row window per query.
 
+Boolean shapes (round 6) run through the SAME kernel: conjunctive AND
+(``require_all=True``) replaces the MaxScore loop with a mandatory-term
+intersection — the shard-locally rarest term seeds the candidate set,
+every further term only decodes blocks overlapping it, and the set can
+only shrink (skipping strictly stronger than the OR bound).  Boolean
+NOT (``neg_queries`` / ``_neg_qmap``) decodes the negative terms'
+shard-local postings once (cached) and excludes banned docs BEFORE
+accumulation, keeping the top-k threshold θ admissible.
+
 Incremental generations (round 4): the scan is the UNION of the base
 segment set and every committed delta generation
 (``builder.load_segments``), each row tagged with its set's encode-time
@@ -156,12 +165,32 @@ def _score_shard(
     k: int,
     dl_of,
     excl_of=None,
+    require_all: bool = False,
+    neg_map: dict[int, list[str]] | None = None,
 ) -> list[tuple[int, int, float]]:
     """``excl_of``: optional callable root → sorted np.ndarray of
     tombstoned docIDs for that root (or None) — exclusion is per
     segment row's root, not global by docID, so a resurrected doc's
     live copy (newer root, no marker) keeps scoring while its dead
-    copy is dropped."""
+    copy is dropped.
+
+    ``require_all`` (boolean AND): conjunctive retrieval with
+    mandatory-term skipping — per query, the shard-locally RAREST
+    term's postings seed the candidate set, every further term only
+    decodes blocks overlapping it (skip metadata), and the set can
+    only shrink; docs of the index are never touched beyond the
+    rarest term's df.  Shard-local conjunction is globally correct
+    because a document's postings live wholly inside its shard.  A
+    query term absent from the shard (or corpus) makes the query
+    empty there — strict AND, matching the exact path.
+
+    ``neg_map`` (boolean NOT): {query_id: [terms]} — docs containing
+    any of a query's negative terms are excluded BEFORE accumulation
+    (not post-filtered), so the top-k threshold θ never inflates on a
+    doc that is about to be banned (which would wrongly prune
+    legitimate candidates).  Cost is bounded by the negative terms'
+    shard-local df; decoded blocks are cached across the batch like
+    any other term's."""
     term_rows: dict[str, list[_SegRow]] = {}
     for r in rows:
         term_rows.setdefault(r.term, []).append(r)
@@ -221,10 +250,68 @@ def _score_shard(
             return np.empty(0, np.int64), np.empty(0, np.float64)
         return np.concatenate(ds), np.concatenate(ss)
 
+    def _drop_member(sorted_arr: np.ndarray, d: np.ndarray, s: np.ndarray):
+        """(d, s) without rows whose doc is in ``sorted_arr``."""
+        keep = (
+            np.searchsorted(sorted_arr, d, side="right")
+            - np.searchsorted(sorted_arr, d, side="left")
+        ) == 0
+        return d[keep], s[keep]
+
     out: list[tuple[int, int, float]] = []
     for qid, qterms in queries.items():
-        terms = [t for t in set(qterms) if t in term_rows]
+        qset = set(qterms)
+        terms = [t for t in qset if t in term_rows]
         if not terms:
+            continue
+        banned = None
+        negs = [
+            t for t in (neg_map.get(qid, ()) if neg_map else ())
+            if t in term_rows
+        ]
+        if negs:
+            nd = [gather(t, None)[0] for t in negs]
+            nd = [d for d in nd if len(d)]
+            if nd:
+                banned = np.unique(np.concatenate(nd))
+        if require_all:
+            if len(terms) < len(qset):
+                continue  # a required term has no postings here: strict AND
+            # rarest-first by shard-local posting count: the first list
+            # bounds everything after it
+            terms.sort(
+                key=lambda t: sum(int(r.meta.n.sum()) for r in term_rows[t])
+            )
+            d0, s0 = gather(terms[0], None)
+            if banned is not None and len(d0):
+                d0, s0 = _drop_member(banned, d0, s0)
+            if not len(d0):
+                continue
+            cand, inv = np.unique(d0, return_inverse=True)
+            acc = np.zeros(len(cand), np.float64)
+            np.add.at(acc, inv, s0)
+            alive = True
+            for t in terms[1:]:
+                d, s = gather(t, cand)
+                if not len(d):
+                    alive = False
+                    break
+                uq, inv = np.unique(d, return_inverse=True)
+                ss = np.zeros(len(uq), np.float64)
+                np.add.at(ss, inv, s)
+                pos = np.searchsorted(uq, cand)
+                pc = np.clip(pos, 0, len(uq) - 1)
+                hit = (pos < len(uq)) & (uq[pc] == cand)
+                if not hit.any():
+                    alive = False
+                    break
+                cand = cand[hit]
+                acc = acc[hit] + ss[pc[hit]]
+            if not alive or len(cand) == 0:
+                continue
+            kk = min(k, len(cand))
+            idx = np.lexsort((cand, -acc))[:kk]
+            out.extend((qid, int(cand[i]), float(acc[i])) for i in idx)
             continue
         terms.sort(key=lambda t: term_upper[t], reverse=True)
         uppers = np.array([term_upper[t] for t in terms])
@@ -237,6 +324,8 @@ def _score_shard(
             # rem[ti]; once θ exceeds that, restrict to accumulated docs.
             prune = theta > rem[ti]
             d, s = gather(term, acc_docs if prune and len(acc_docs) else None)
+            if banned is not None and len(d):
+                d, s = _drop_member(banned, d, s)
             if len(d):
                 md = np.concatenate([acc_docs, d])
                 ms = np.concatenate([acc_scores, s])
@@ -313,12 +402,15 @@ class Searcher:
             self._load()
 
     def search(self, queries: DataFrame, k: int = 10,
-               code_aware: bool | None = None) -> DataFrame:
+               code_aware: bool | None = None,
+               require_all: bool = False,
+               neg_queries: DataFrame | None = None) -> DataFrame:
         if self.auto_reload:
             self._maybe_reload()
         return wand_search(
             self.spark, self.index_dir, queries, k=k, code_aware=code_aware,
             _segments=self.segments, _meta=self.meta, _tstats=self.term_stats,
+            require_all=require_all, neg_queries=neg_queries,
         )
 
     def phrase(self, queries: DataFrame | list[tuple[int, str]],
@@ -479,6 +571,9 @@ def wand_search(
     query_chunk_size: int | None = None,
     stats_out: dict | None = None,
     _qmap: dict[int, list[str]] | None = None,
+    require_all: bool = False,
+    neg_queries: DataFrame | None = None,
+    _neg_qmap: dict[int, list[str]] | None = None,
 ) -> DataFrame:
     """(query_id, rank, docID, score) — fast path over the segment index.
 
@@ -489,7 +584,20 @@ def wand_search(
     ``_qmap`` — a prebuilt {query_id: [terms]} of ALREADY-NORMALIZED
     index terms, bypassing query tokenization entirely (``queries`` may
     then be None).  Callers that derive terms from the index's own
-    vocabulary use this (:func:`prefix_search`)."""
+    vocabulary use this (:func:`prefix_search`).
+
+    ``require_all`` — boolean AND: only docs containing EVERY query
+    term score, served by the kernel's mandatory-term intersection
+    (rarest-first candidate shrinking — stronger skipping than the OR
+    MaxScore bound).  Works on both the driver-tokenized and the
+    distributed-wave paths.
+
+    ``neg_queries`` — boolean NOT: a (query_id, query_text) frame of
+    words per query whose docs are excluded; tokenized with the same
+    rules as ``queries``.  ``_neg_qmap`` is the prebuilt-terms variant.
+    Negative term sets are driver-resident by design (human-scale
+    boolean queries); a neg batch too large to tokenize driver-side is
+    refused loudly rather than silently collected."""
     if driver_tokenize_max is None:
         driver_tokenize_max = DRIVER_TOKENIZE_MAX
     if query_chunk_size is None:
@@ -519,6 +627,25 @@ def wand_search(
     )
     if qmap is not None and not any(qmap.values()):
         return empty
+    neg_qmap = (
+        {int(q): sorted(set(ts)) for q, ts in _neg_qmap.items() if ts}
+        if _neg_qmap is not None
+        else None
+    )
+    if neg_queries is not None and neg_qmap is None:
+        # negative word sets are tiny per query; cap at the same budget
+        # the wave machinery uses per wave rather than the OR path's
+        # driver_tokenize_max (a large POSITIVE batch may still carry a
+        # driver-sized negative map)
+        neg_qmap = _query_term_map(
+            neg_queries, code_aware, query_chunk_size, qlang
+        )
+        if neg_qmap is None:
+            raise ValueError(
+                "neg_queries batch exceeds the driver tokenize budget "
+                f"({query_chunk_size}); negative term maps are driver-"
+                "resident — split the batch"
+            )
     n_docs, avgdl = int(meta["n_docs"]), float(meta["avgdl"])
     k1, b = float(meta["k1"]), float(meta["b"])
     n_shards = int(meta["n_buckets"]) * int(meta.get("n_subs", 1))
@@ -560,6 +687,7 @@ def wand_search(
             part = _wave_local_topk(
                 spark, base, tstats, wave, dl_roots,
                 n_docs, avgdl, k1, b, k, n_shards, tomb_dirs,
+                require_all=require_all, neg_qmap=neg_qmap,
             )
             local = part if local is None else local.unionByName(part)
             if (wi + 1) % CHECKPOINT_WAVES == 0:
@@ -589,6 +717,8 @@ def _wave_local_topk(
     k: int,
     n_shards: int,
     tomb_dirs: dict[str, list[str]] | None = None,
+    require_all: bool = False,
+    neg_qmap: dict[int, list[str]] | None = None,
 ) -> DataFrame:
     """Per-shard local top-k rows for one wave of queries (pre-merge).
 
@@ -599,7 +729,17 @@ def _wave_local_topk(
     only, so results match a rebuild without the victims while a
     resurrected doc's live copy (newer root, no marker) keeps
     scoring."""
-    all_terms = sorted({t for ts in qmap.values() for t in ts})
+    neg_qmap = {
+        qid: sorted(set(ts))
+        for qid, ts in (neg_qmap or {}).items()
+        if qid in qmap and ts
+    } or None
+    # negative terms join the pruned segment scan (their postings are
+    # what defines the exclusion) but never the positive scoring set
+    all_terms = sorted(
+        {t for ts in qmap.values() for t in ts}
+        | ({t for ts in neg_qmap.values() for t in ts} if neg_qmap else set())
+    )
     if not all_terms:
         return spark.createDataFrame([], "query_id long, docID long, score double")
     if len(all_terms) <= 1024:
@@ -619,11 +759,11 @@ def _wave_local_topk(
     # search call.  A segment term absent from term_stats (corruption)
     # drops out here; DOCINSIGHT_STRICT_DL covers loud detection.
     seg = seg.join(F.broadcast(tfil), "term")
-    bc = spark.sparkContext.broadcast(qmap)
+    bc = spark.sparkContext.broadcast((qmap, neg_qmap))
     strict = strict_dl_enabled()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        qmap_bc = bc.value
+        qmap_bc, neg_bc = bc.value
         by_shard: dict[tuple[int, int], list[_SegRow]] = {}
         for pdf in batches:
             bks = pdf["doc_bucket"].to_numpy()
@@ -719,6 +859,7 @@ def _wave_local_topk(
                 _score_shard(
                     rows, qmap_bc, n_docs, avgdl, k1, b, k, dl_of,
                     excl_of=excl_lookup(bucket),
+                    require_all=require_all, neg_map=neg_bc,
                 )
             )
         yield pd.DataFrame(out, columns=["query_id", "docID", "score"]).astype(

@@ -67,6 +67,14 @@ def main() -> None:
         rows = wand_search(spark, idx, queries, k=10, stats_out=wave_stats).count()
         batch_s = time.time() - t0
 
+        # boolean-AND batch (round 6): the same query set served
+        # conjunctively through the kernel's mandatory-term intersection
+        t0 = time.time()
+        and_rows = wand_search(
+            spark, idx, queries, k=10, require_all=True
+        ).count()
+        and_batch_s = time.time() - t0
+
         def _vm(key: str) -> int:
             with open("/proc/self/status") as fh:
                 for line in fh:
@@ -85,6 +93,9 @@ def main() -> None:
                     "batch_sec": round(batch_s, 2),
                     "qps": round(N_QUERIES / batch_s, 1),
                     "result_rows": rows,
+                    "and_batch_sec": round(and_batch_s, 2),
+                    "and_qps": round(N_QUERIES / and_batch_s, 1),
+                    "and_result_rows": and_rows,
                     # bounded-driver evidence: pairs resident per wave,
                     # not per batch (wand._wave_qmaps)
                     **wave_stats,

@@ -250,6 +250,102 @@ def test_compact_physically_reclaims_tombstones(spark, del_setup):
     _assert_same(before, final)
 
 
+def test_boolean_modes_match_exact_after_delete(spark, del_setup):
+    """Boolean AND / NOT through the block-max kernel (round 6) stay
+    rank-identical to the exact path on a tombstoned, multi-generation
+    index: root-scoped exclusion applies inside the intersection and
+    the ban set alike."""
+    idx = del_setup["idx"]
+    q = del_setup["queries"]
+    a = _res(wand_search(spark, idx, q, k=5, require_all=True))
+    o = _res(oracle_from_index(spark, idx, q, k=5, require_all=True))
+    assert len(a) > 0
+    _assert_same(a, o)
+    # NOT: ban two mid-frequency terms across every query (a term in
+    # EVERY doc would make both sides legitimately empty — no signal)
+    from docinsight_spark.index.builder import load_term_stats
+
+    b = del_setup["builder"]
+    n_live = int(b.meta()["n_docs"])
+    hot = [
+        r["term"]
+        for r in load_term_stats(spark, idx, b.meta())
+        .filter(F.col("df") < n_live // 3)
+        .orderBy(F.col("df").desc(), "term").limit(2).collect()
+    ]
+    qids = [int(r["query_id"]) for r in q.select("query_id").collect()]
+    negs_txt = spark.createDataFrame(
+        [(qid, " ".join(hot)) for qid in qids],
+        "query_id long, query_text string",
+    )
+    negs_terms = spark.createDataFrame(
+        [(qid, t) for qid in qids for t in hot],
+        "query_id long, term string",
+    )
+    an = _res(wand_search(spark, idx, q, k=5, neg_queries=negs_txt))
+    on = _res(oracle_from_index(spark, idx, q, k=5, neg_terms=negs_terms))
+    assert len(an) > 0
+    _assert_same(an, on)
+
+
+def test_compact_refold_sees_tombstones_added_after_crash(
+    spark, tmp_path, monkeypatch
+):
+    """A compact that crashed AFTER committing its fold, followed by a
+    delete_docs marking docs in a victim generation, must RE-FOLD on
+    retry: reusing the stale fold would carry the new victims' postings
+    into the new generation while the meta commit drops their markers —
+    silent resurrection of just-deleted docs (round-6 fold guard:
+    tombstone fingerprint in the fold manifest)."""
+    d = str(tmp_path / "idx")
+    b = IndexBuilder(spark, d, n_buckets=2)
+    b.build(make_corpus(spark, 120, seed=21, partitions=2))
+    b.add_run(make_corpus(spark, 80, seed=22, partitions=2), "delta1")
+    assert b.refresh_delta(fanin=2) == "gen0001"
+
+    orig = IndexBuilder._write_doc_term_stats
+
+    def boom(self, *a, **k):
+        raise RuntimeError("crash after fold commit")
+
+    monkeypatch.setattr(IndexBuilder, "_write_doc_term_stats", boom)
+    with pytest.raises(RuntimeError, match="crash after fold"):
+        b.compact(force=True)
+    monkeypatch.setattr(IndexBuilder, "_write_doc_term_stats", orig)
+
+    # the fold committed; now delete docs living in the victim generation
+    gen_ids = [
+        int(r["docID"])
+        for r in spark.read.parquet(f"{d}/generations/gen0001/doc_stats")
+        .select("docID").limit(5).collect()
+    ]
+    vic = spark.createDataFrame([(i,) for i in gen_ids], "docID long")
+    assert b.delete_docs(vic) is not None
+    assert any(
+        "gen0001" in t["per_root"] for t in b.meta().get("tombstones", [])
+    )
+
+    gid = b.compact(force=True)
+    assert gid is not None
+    meta = b.meta()
+    # deleted docs must NOT have come back: neither live doc stats nor
+    # the merged postings of the new generation may contain them
+    live = {
+        int(r["docID"])
+        for r in load_doc_stats(spark, d, meta)
+        .join(vic, "docID", "left_semi").collect()
+    }
+    assert live == set()
+    merged = {
+        int(r["docID"])
+        for r in load_merged_postings(spark, d, meta)
+        .join(vic, "docID", "left_semi").select("docID").distinct().collect()
+    }
+    assert merged == set()
+    audit = b.fsck()
+    assert audit["ok"], audit
+
+
 def test_fsck_green_on_healthy_lifecycle(spark, del_setup):
     """fsck passes on an index carrying generations AND tombstones, and
     each check reports a sensible detail string."""

@@ -290,6 +290,48 @@ def test_manifest_ledger_flat_reads(spark, tmp_path, monkeypatch):
     assert len(m) == 120
 
 
+def test_read_manifests_survives_concurrent_fold(spark, tmp_path, monkeypatch):
+    """A reader listing the manifests dir while a writer's fold_ledger
+    deletes a just-folded loose file must NOT crash and must still see
+    the folded unit (the documented 'readers are unrestricted during a
+    refresh' contract): the fold commits the ledger BEFORE deleting
+    loose files, so the reader re-reads the fresh ledger on a vanished
+    file."""
+    from docinsight_spark.index import builder as B
+    from docinsight_spark.index import fsio as FS
+
+    d = str(tmp_path / "race")
+    b = IndexBuilder(spark, d, n_buckets=2)
+    b._commit("run-base", run_id="base", postings=1, docs=1, langs={},
+              settings=b._settings())
+    b.fold_ledger()
+    payload = {"unit": "extra-unit", "status": "complete", "x": 1}
+    B._atomic_write_json(f"{d}/manifests/extra-unit.json", payload)
+
+    real_read = FS.read_json
+    state = {"raced": False}
+
+    def racy_read(path):
+        if path.endswith("manifests/extra-unit.json") and not state["raced"]:
+            # simulate the concurrent fold: ledger gains the unit FIRST,
+            # then the loose file vanishes — exactly the writer's order
+            state["raced"] = True
+            units = dict(real_read(f"{d}/manifests/_ledger.json")["units"])
+            units["extra-unit"] = payload
+            B._atomic_write_json(
+                f"{d}/manifests/_ledger.json", {"units": units, "ts": 0.0}
+            )
+            FS.remove(path)
+            raise FileNotFoundError(path)
+        return real_read(path)
+
+    monkeypatch.setattr(B.fsio, "read_json", racy_read)
+    got = {m["unit"]: m for m in B.read_manifests(d)}
+    assert state["raced"]
+    assert got["extra-unit"]["x"] == 1  # folded unit still served
+    assert "run-base" in got
+
+
 def test_ledger_survives_build_refresh_cycle(spark, tmp_path):
     """End-to-end: build → ingest → refresh with ledger folds at every
     finalize/refresh; coverage, resume short-circuits and queries keep

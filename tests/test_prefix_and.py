@@ -172,6 +172,131 @@ def test_require_all_conjunctive(spark, px_setup):
     assert (merged["score_s"] - merged["score_l"]).abs().max() < 1e-12
 
 
+def _res(df):
+    import numpy as np
+
+    rows = sorted(
+        (int(r["query_id"]), int(r["rank"]), int(r["docID"]), float(r["score"]))
+        for r in df.collect()
+    )
+    return rows, np.array([s for *_, s in rows])
+
+
+def _assert_same(a, b, atol=1e-9):
+    import numpy as np
+
+    ra, sa = a
+    rb, sb = b
+    assert [(q, rk, d) for q, rk, d, _ in ra] == [(q, rk, d) for q, rk, d, _ in rb]
+    assert np.allclose(sa, sb, atol=atol)
+
+
+@pytest.fixture(scope="module")
+def bool_queries(px_setup):
+    """(positive text, negative words) per query over terms that
+    genuinely co-occur: AND is non-empty for q0/q2, q1 carries a term
+    absent from the corpus (strict AND = empty), q3 is single-term
+    (AND == OR)."""
+    toks = px_setup["toks"]
+    t0 = sorted(set(toks.iloc[0]))
+    t5 = sorted(set(toks.iloc[5]))
+    return {
+        "pos": [
+            (0, f"{t0[0]} {t0[len(t0) // 2]} {t0[-1]}"),
+            (1, f"{t0[0]} zqnosuchterm"),
+            (2, f"{t5[0]} {t5[-1]}"),
+            (3, t0[1]),
+        ],
+        "neg": [(0, t5[1]), (2, t0[2]), (3, t0[-2])],
+    }
+
+
+def test_wand_require_all_rank_identical_to_exact(spark, px_setup, bool_queries):
+    """Boolean AND through the block-max kernel (round 6) must be
+    rank-identical (ranks AND scores) to the exact-scoring path."""
+    from docinsight_spark.evaluation import oracle_from_index
+    from docinsight_spark.index.wand import wand_search
+
+    q = spark.createDataFrame(
+        bool_queries["pos"], "query_id long, query_text string"
+    )
+    fast = _res(wand_search(spark, px_setup["idx"], q, k=8, require_all=True))
+    exact = _res(
+        oracle_from_index(spark, px_setup["idx"], q, k=8, require_all=True)
+    )
+    assert len(fast[0]) > 0
+    assert not any(r[0] == 1 for r in fast[0])  # absent term → strict empty
+    _assert_same(fast, exact)
+
+
+def test_wand_neg_terms_rank_identical_to_exact(spark, px_setup, bool_queries):
+    """Boolean NOT through the block-max kernel: banned docs are
+    excluded BEFORE accumulation, results rank-identical to the exact
+    path's anti-join."""
+    from docinsight_spark.evaluation import oracle_from_index
+    from docinsight_spark.index.wand import wand_search
+
+    q = spark.createDataFrame(
+        bool_queries["pos"], "query_id long, query_text string"
+    )
+    negs_txt = spark.createDataFrame(
+        bool_queries["neg"], "query_id long, query_text string"
+    )
+    negs_terms = spark.createDataFrame(
+        bool_queries["neg"], "query_id long, term string"
+    )
+    fast = _res(
+        wand_search(spark, px_setup["idx"], q, k=8, neg_queries=negs_txt)
+    )
+    exact = _res(
+        oracle_from_index(spark, px_setup["idx"], q, k=8, neg_terms=negs_terms)
+    )
+    assert len(fast[0]) > 0
+    _assert_same(fast, exact)
+    # AND + NOT combined
+    fast2 = _res(
+        wand_search(
+            spark, px_setup["idx"], q, k=8,
+            require_all=True, neg_queries=negs_txt,
+        )
+    )
+    exact2 = _res(
+        oracle_from_index(
+            spark, px_setup["idx"], q, k=8,
+            require_all=True, neg_terms=negs_terms,
+        )
+    )
+    _assert_same(fast2, exact2)
+
+
+def test_wand_boolean_distributed_wave_path(spark, px_setup, bool_queries):
+    """AND/NOT also hold on the distributed-wave path (driver tokenize
+    budget 0 forces per-wave tokenization in executors)."""
+    from docinsight_spark.index.wand import wand_search
+
+    q = spark.createDataFrame(
+        bool_queries["pos"], "query_id long, query_text string"
+    )
+    neg_qmap = {
+        qid: [t] for qid, t in bool_queries["neg"]
+    }
+    ref = _res(
+        wand_search(
+            spark, px_setup["idx"], q, k=8,
+            require_all=True, _neg_qmap=neg_qmap,
+        )
+    )
+    waved = _res(
+        wand_search(
+            spark, px_setup["idx"], q, k=8,
+            require_all=True, _neg_qmap=neg_qmap,
+            driver_tokenize_max=0, query_chunk_size=2,
+        )
+    )
+    assert len(ref[0]) > 0
+    _assert_same(ref, waved)
+
+
 def test_neg_terms_boolean_not(spark, px_setup):
     """neg_terms drops exactly the docs containing any negative term;
     survivors keep their scores."""
