@@ -1675,6 +1675,130 @@ def phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Proximity NEAR(w) top-k (round 6): windowed containment instead of
+# exact adjacency — an occurrence is an ANCHOR (a position of the
+# query's FIRST term) with every other query term within ±w tokens;
+# tf = anchor count, df = matching docs, BM25 over live N/avgdl.  The
+# engine decodes packed positions in the same candidate-bounded kernel
+# as phrase search (index/phrase.proximity_search); the oracle replays
+# the identical anchored definition over the zipped-unnest token
+# stream.  Reference analog: sentence-granular fuzzy evidence,
+# /root/reference/enhanced_pipeline.py:453-504.
+# ---------------------------------------------------------------------------
+
+PROX_QUERIES: list[tuple[int, str]] = [
+    (0, "big order scan"),
+    (1, "part filter"),
+    (2, "merge group table"),
+]
+_PROX_W = 4
+_PROX_OVERFETCH = 1000  # > any query's proximity df at the gate SF
+
+
+def _proximity_oracle_sql(
+    phrases: list[tuple[int, str]] = PROX_QUERIES,
+    k: int = BM25_K,
+    w: int = _PROX_W,
+) -> str:
+    offs = [
+        (q, i, t)
+        for q, text in phrases
+        for i, t in enumerate(text.lower().split())
+    ]
+    vals = ", ".join(f"({q}, {i}, '{t}')" for q, i, t in offs)
+    return f"""
+WITH ptoks AS (
+  SELECT doc_id, unnest(toks) AS term, unnest(range(len(toks)))::BIGINT AS pos
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+    FROM documents
+  )
+),
+offs(query_id, off, term) AS (VALUES {vals}),
+noff AS (SELECT query_id, count(*)::BIGINT AS n FROM offs GROUP BY query_id),
+anchors AS (
+  SELECT o.query_id, t.doc_id, t.pos
+  FROM ptoks t JOIN offs o USING (term) WHERE o.off = 0
+),
+others AS (
+  SELECT o.query_id, o.off, t.doc_id, t.pos
+  FROM ptoks t JOIN offs o USING (term) WHERE o.off > 0
+),
+hits AS (
+  SELECT a.query_id, a.doc_id, a.pos, count(DISTINCT o.off) AS c
+  FROM anchors a JOIN others o
+    ON o.query_id = a.query_id AND o.doc_id = a.doc_id
+   AND o.pos BETWEEN a.pos - {w} AND a.pos + {w}
+  GROUP BY 1, 2, 3
+),
+occ AS (
+  SELECT h.query_id, h.doc_id, h.pos
+  FROM hits h JOIN noff n USING (query_id)
+  WHERE h.c = n.n - 1
+),
+ptf AS (
+  SELECT query_id, doc_id, count(*)::BIGINT AS tf FROM occ GROUP BY 1, 2
+),
+pdf AS (SELECT query_id, count(*)::BIGINT AS df FROM ptf GROUP BY 1),
+dstats AS (SELECT doc_id, count(*)::BIGINT AS dl FROM ptoks GROUP BY doc_id),
+c AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dstats),
+scored AS (
+  SELECT p.query_id::BIGINT AS query_id, p.doc_id,
+         ln((c.n - f.df + 0.5) / (f.df + 0.5) + 1.0)
+         * p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / c.avgdl)) AS s
+  FROM ptf p
+  JOIN pdf f USING (query_id)
+  JOIN dstats d USING (doc_id)
+  CROSS JOIN c
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, round(s, 4) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 4) DESC, doc_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+@_register("proximity_topk", _proximity_oracle_sql())
+def proximity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR({_PROX_W}) proximity top-10 end-to-end: positional build →
+    anchored windowed containment → BM25, rank after 4-dp rounding on
+    both sides."""
+    import tempfile
+
+    from docinsight_spark.index.builder import IndexBuilder
+    from docinsight_spark.index.phrase import proximity_search
+
+    docs = _docs(spark, sf_dir).select(
+        F.lit("sf/docs").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id")).alias("path"),
+        F.lit("0000").alias("commit"),
+        F.lit("en").alias("lang"),
+        F.col("text").alias("content"),
+    )
+    idx = tempfile.mkdtemp(prefix="contract_prox_")
+    b = IndexBuilder(spark, idx, n_buckets=8, code_aware=False, positions=True)
+    b.build(docs)
+    res = proximity_search(
+        spark, idx, PROX_QUERIES, k=_PROX_OVERFETCH, window=_PROX_W
+    )
+    dim = b.docs_dim().select(
+        "docID", F.expr("CAST(substr(path, 5) AS LONG)").alias("doc_id")
+    )
+    scored = res.join(dim, "docID").select(
+        "query_id", "doc_id", F.round("score", 4).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_K)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Keyword-in-context snippets (round 5): for each of a query's top-k
 # docs, the token offset whose W-token window covers the most query-term
 # occurrences (ties → smallest offset) — the evidence-span analog of the

@@ -1168,6 +1168,10 @@ class IndexBuilder:
             "b": self.b,
             "code_aware": self.code_aware,
             "positions": self.positions,
+            # positional layout generation: packed delta-gap VByte
+            # (codec.pack_positions_groups) since round 6; readers
+            # refuse legacy array<int> positional indexes loudly
+            **({"positions_codec": "vbyte-delta"} if self.positions else {}),
             "query_lang": self._majority_lang(set(base_runs) or None),
             "version": 4,
             # the base segment set's encode-time stats: generations added
@@ -1743,10 +1747,30 @@ class IndexBuilder:
 
         if deep and meta.get("positions", False) and final:
             # positional integrity (deep-only: O(corpus) scan per root):
-            # every live root's merged postings must carry the positions
-            # column with Σ n_positions == Σ tf — a root whose positions
-            # were lost (e.g. a mixed-settings writer) would leave
-            # phrase search silently blind/wrong
+            # every live root's merged postings must carry the packed
+            # positions column with Σ n_positions == Σ tf (a VByte value
+            # count is its terminal-byte count — no full decode needed).
+            # A root whose positions were lost (e.g. a mixed-settings
+            # writer) would leave phrase search silently blind/wrong.
+            import pandas as _pd
+            from pyspark.sql.functions import pandas_udf
+
+            def _npos_fn(bufs):
+                return _pd.Series(
+                    [
+                        int((np.frombuffer(b, np.uint8) & 0x80 == 0).sum())
+                        if b is not None
+                        else 0
+                        for b in bufs
+                    ],
+                    dtype="int64",
+                )
+
+            # real annotation objects (PEP-563 stringification breaks
+            # pandas_udf hint resolution in this module)
+            _npos_fn.__annotations__ = {"bufs": _pd.Series,
+                                        "return": _pd.Series}
+            _npos = pandas_udf(_npos_fn, "long")
             srcs = [("base", f"{final[0]['source']}/postings")] + [
                 (g["id"], f"{g['merged_source']}/postings")
                 for g in gens if g.get("merged_source")
@@ -1754,16 +1778,16 @@ class IndexBuilder:
             bad = []
             for rid, src in srcs:
                 df = self.spark.read.parquet(src)
-                if "positions" not in df.columns:
-                    bad.append(f"{rid}: no positions column")
+                if "pos_data" not in df.columns:
+                    bad.append(f"{rid}: no pos_data column")
                     continue
                 row = df.agg(
                     F.sum("tf").alias("t"),
-                    F.sum(F.size("positions")).alias("p"),
+                    F.sum(_npos(F.col("pos_data"))).alias("p"),
                 ).first()
                 if int(row["t"] or 0) != int(row["p"] or 0):
                     bad.append(
-                        f"{rid}: Σtf={row['t']} vs Σ|positions|={row['p']}"
+                        f"{rid}: Σtf={row['t']} vs Σn_positions={row['p']}"
                     )
             rec("positions_integrity", not bad, "; ".join(bad))
 

@@ -1,4 +1,4 @@
-"""Exact phrase search over positional postings.
+"""Exact phrase + proximity (NEAR) search over positional postings.
 
 The reference surfaces matched *spans* of contiguous text as evidence
 (``/root/reference/analysis/report_builder.py`` renders per-sentence
@@ -6,14 +6,20 @@ matches); the fulltext-index analog is exact phrase retrieval: a query
 ``"merge group"`` matches only documents where those tokens are
 ADJACENT in the token stream, ranked by BM25 with the phrase itself as
 the unit (tf = exact occurrence count, df = number of matching docs).
+Proximity retrieval (:func:`proximity_search`) generalizes adjacency
+to windowed containment — the closer analog of the reference's
+sentence-granular fuzzy evidence
+(``/root/reference/enhanced_pipeline.py:453-504``).
 
 The positional artifact is the merged postings parquet itself: when an
 index is built with ``IndexBuilder(positions=True)``, every
-(term, docID) row carries ``positions array<int>`` — the term's token
-offsets — through the run → merge → generation → compaction life-cycle
-(the column simply rides the existing shard-sorted layout; the WAND
-segment encoder prunes it).  A phrase query therefore needs no second
-index structure:
+(term, docID) row carries ``pos_data binary`` — the term's token
+offsets, delta-gap + VByte packed (``codec.pack_positions_groups``;
+round 6 — raw ``array<int>`` inflated the positional layout ~1.8× and
+made the build write-bound) — through the run → merge → generation →
+compaction life-cycle (the column rides the existing shard-sorted
+layout as opaque bytes; the WAND segment encoder prunes it).  A
+positional query therefore needs no second index structure:
 
 1. scan each live root's merged postings with ``term IN (phrase
    terms)`` — the same row-group-pruned read the segment encoder's
@@ -23,17 +29,22 @@ index structure:
    matches);
 3. tombstoned copies are excluded (docID, root)-scoped, exactly like
    the WAND kernel — deletes and resurrections need no special casing;
-4. adjacency is pure column algebra: explode positions, normalize each
-   offset ``pos - off`` to the phrase's would-be start, and a phrase
-   occurrence is a (doc, start) group hit by EVERY phrase offset —
-   two hash aggregations, partial-agg friendly, no UDF;
+4. the candidates' packed rows — ``candidates × |phrase|`` rows of
+   VByte bytes, never an exploded position stream — shuffle ONCE by
+   (query, doc) into an Arrow-batched kernel that decodes and
+   intersects offsets vectorized: a phrase occurrence is a base
+   ``pos − off`` hit by EVERY phrase offset; a NEAR(w) occurrence is
+   an anchor (first-term position) with every other term within ±w.
+   (Round 5 exploded positions through two corpus-agg shuffles; the
+   kernel moves ~Σtf·4 bytes less per candidate and does no
+   per-position shuffle at all.)
 5. BM25 over phrase tf/df with the index's live N/avgdl (delete-
    corrected in ``_meta.json``), round-then-rank top-k.
 
 Scale notes: the only corpus-wide touch is the doc-length join (a
 2-column scan of ``doc_stats``); everything else is bounded by the
 phrase terms' posting sizes.  Skew: a phrase containing a hot term
-explodes only the positions of docs that also contain the phrase's
+decodes only the positions of docs that also contain the phrase's
 rarest term (step 2), which is what keeps ``"the <rare>"`` queries
 cheap.
 """
@@ -81,6 +92,35 @@ def _restrict_terms(df: DataFrame, terms: list[str]) -> DataFrame:
         [(t,) for t in terms], "term string"
     )
     return df.join(F.broadcast(tdf), "term", "left_semi")
+
+
+def unpack_positions_col(pos_col: str, tf_col: str):
+    """``array<int>`` column decoded from packed positions (count = tf)
+    — an Arrow-batched kernel, used only over candidate-restricted rows
+    (snippets / report evidence), never a corpus-wide pass."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from docinsight_spark.index.codec import unpack_positions
+
+    def fn(bufs, tfs):
+        return pd.Series(
+            [
+                (
+                    unpack_positions(b, int(t)).astype(np.int32).tolist()
+                    if b is not None
+                    else []
+                )
+                for b, t in zip(bufs, tfs)
+            ],
+            dtype=object,
+        )
+
+    # real annotation objects: PEP-563 inline hints stringify and
+    # pandas_udf cannot resolve them in this module
+    fn.__annotations__ = {"bufs": pd.Series, "tfs": pd.Series,
+                          "return": pd.Series}
+    return pandas_udf(fn, "array<int>")(F.col(pos_col), F.col(tf_col))
 
 
 def _phrase_offsets(
@@ -139,11 +179,61 @@ def phrase_search(
 
     ``queries``: (query_id, query_text) rows; each text is one phrase.
     Requires an index built with ``positions=True``."""
+    return _positional_search(
+        spark, index_dir, queries, k=k, code_aware=code_aware,
+        _meta=_meta, mode="phrase", window=0,
+    )
+
+
+def proximity_search(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame | list[tuple[int, str]],
+    k: int = 10,
+    window: int = 8,
+    code_aware: bool | None = None,
+    _meta: dict | None = None,
+) -> DataFrame:
+    """(query_id, rank, docID, score) — NEAR(w) proximity top-k.
+
+    A document occurrence is an ANCHOR: a position of the query's FIRST
+    term such that every other query term has an occurrence within
+    ``window`` tokens either side of it (|q − anchor| ≤ w); tf = anchor
+    count, df = matching docs, BM25 over the index's live N/avgdl —
+    exact-phrase machinery relaxed to windowed containment, the engine's
+    analog of the reference's sentence-granular fuzzy evidence
+    (``/root/reference/enhanced_pipeline.py:453-504``).  Deterministic
+    and SQL-replayable (the driver oracle replays the same anchored
+    definition).  Requires a ``positions=True`` index."""
+    if window < 1:
+        raise ValueError("proximity window must be >= 1 token")
+    return _positional_search(
+        spark, index_dir, queries, k=k, code_aware=code_aware,
+        _meta=_meta, mode="near", window=int(window),
+    )
+
+
+def _positional_search(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame | list[tuple[int, str]],
+    k: int,
+    code_aware: bool | None,
+    _meta: dict | None,
+    mode: str,
+    window: int,
+) -> DataFrame:
     meta = _meta or fsio.read_json(f"{index_dir}/_meta.json")
     if not meta.get("positions", False):
         raise ValueError(
             f"index at {index_dir} was built without positions=True; "
-            "phrase search needs positional postings"
+            "phrase/proximity search needs positional postings"
+        )
+    if meta.get("positions_codec") != "vbyte-delta":
+        raise ValueError(
+            f"index at {index_dir} stores positions in a legacy layout "
+            "(pre-round-6 array<int>); rebuild with this engine version "
+            "to get packed positional postings"
         )
     if code_aware is None:
         code_aware = bool(meta.get("code_aware", True))
@@ -230,16 +320,24 @@ def phrase_search(
     return _score_phrase_hits(
         spark, index_dir, meta, roots, scan, offs, noff, cand,
         buckets if buckets is not None and len(buckets) < n_buckets else None,
-        k,
+        k, mode, window,
     )
 
 
 def _score_phrase_hits(
-    spark, index_dir, meta, roots, scan, offs, noff, cand, buckets, k
+    spark, index_dir, meta, roots, scan, offs, noff, cand, buckets, k,
+    mode: str = "phrase", window: int = 0,
 ) -> DataFrame:
+    """Candidate scoring over PACKED positions: one shuffle of the
+    candidates' (query, off, docID, tf, pos_data) rows by (query, doc),
+    then an Arrow-batched kernel decodes and intersects offsets
+    vectorized — the per-position explode → double hash-agg of round 5
+    never leaves the kernel now.  ``mode='phrase'``: tf = bases hit by
+    every offset; ``mode='near'``: tf = first-term anchors with every
+    other term within ±``window``."""
     heavy = _union_frames(
         [
-            scan(r, s, ["term", "docID", "positions", "doc_bucket"])
+            scan(r, s, ["term", "docID", "tf", "pos_data", "doc_bucket"])
             for r, s in roots
         ]
     )
@@ -256,23 +354,70 @@ def _score_phrase_hits(
     hits = (
         heavy.join(F.broadcast(offs), "term")
         .join(cand, ["query_id", "docID"], "left_semi")
-        .select(
-            "query_id",
-            "off",
-            "docID",
-            "_root",
-            F.explode("positions").alias("pos"),
-        )
-        .withColumn("base", F.col("pos") - F.col("off"))
-    )
-    occ = (
-        hits.groupBy("query_id", "docID", "_root", "base")
-        .agg(F.count_distinct("off").alias("c"))
         .join(F.broadcast(noff), "query_id")
-        .filter(F.col("c") == F.col("n"))
+        .select("query_id", "docID", "_root", "off", "tf", "pos_data", "n")
     )
-    ptf = occ.groupBy("query_id", "docID", "_root").agg(
-        F.count(F.lit(1)).alias("tf")
+
+    import numpy as np
+
+    from docinsight_spark.index.codec import unpack_positions
+
+    near_w = int(window)
+    is_near = mode == "near"
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty_out = pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype="int64"),
+                "docID": pd.Series([], dtype="int64"),
+                "_root": pd.Series([], dtype="object"),
+                "tf": pd.Series([], dtype="int64"),
+            }
+        )
+        n = int(pdf["n"].iloc[0])
+        offs_a = pdf["off"].to_numpy()
+        if len(np.unique(offs_a)) < n:
+            # a candidate admitted by the cross-root pre-pass whose LIVE
+            # copy lacks a term (resurrection with changed content)
+            return empty_out
+        if is_near:
+            a0 = int(np.flatnonzero(offs_a == offs_a.min())[0])
+            anchors = unpack_positions(
+                pdf["pos_data"].iloc[a0], int(pdf["tf"].iloc[a0])
+            )
+            ok = np.ones(len(anchors), dtype=bool)
+            for i in range(len(pdf)):
+                if i == a0:
+                    continue
+                q = unpack_positions(
+                    pdf["pos_data"].iloc[i], int(pdf["tf"].iloc[i])
+                )
+                lo = np.searchsorted(q, anchors - near_w, side="left")
+                hi = np.searchsorted(q, anchors + near_w, side="right")
+                ok &= hi > lo
+            t = int(ok.sum())
+        else:
+            arrs = [
+                unpack_positions(buf, int(tf)) - np.int64(off)
+                for off, tf, buf in zip(
+                    pdf["off"], pdf["tf"], pdf["pos_data"]
+                )
+            ]
+            _u, c = np.unique(np.concatenate(arrs), return_counts=True)
+            t = int((c == n).sum())
+        if t == 0:
+            return empty_out
+        return pd.DataFrame(
+            {
+                "query_id": [int(pdf["query_id"].iloc[0])],
+                "docID": [int(pdf["docID"].iloc[0])],
+                "_root": [str(pdf["_root"].iloc[0])],
+                "tf": [t],
+            }
+        )
+
+    ptf = hits.groupBy("query_id", "docID", "_root").applyInPandas(
+        kern, "query_id long, docID long, _root string, tf long"
     )
     pdf = ptf.groupBy("query_id").agg(F.count(F.lit(1)).alias("df"))
 
@@ -351,6 +496,11 @@ def snippet_windows(
             f"index at {index_dir} was built without positions=True; "
             "snippets need positional postings"
         )
+    if meta.get("positions_codec") != "vbyte-delta":
+        raise ValueError(
+            f"index at {index_dir} stores positions in a legacy layout "
+            "(pre-round-6 array<int>); rebuild with this engine version"
+        )
     thead = qterms.select("term").distinct().limit(1_000_001).collect()
     if len(thead) > 1_000_000:
         raise ValueError(
@@ -385,7 +535,7 @@ def snippet_windows(
     rows = _union_frames(
         [
             _restrict_terms(spark.read.parquet(src), terms)
-            .select("term", "docID", "positions", "doc_bucket")
+            .select("term", "docID", "tf", "pos_data", "doc_bucket")
             .withColumn("_root", F.lit(rid))
             for rid, src in roots
         ]
@@ -403,7 +553,11 @@ def snippet_windows(
     mpos = (
         rows.join(F.broadcast(qterms), "term")
         .join(F.broadcast(cand), ["query_id", "docID"], "left_semi")
-        .select("query_id", "docID", F.explode("positions").alias("pos"))
+        .select(
+            "query_id",
+            "docID",
+            F.explode(unpack_positions_col("pos_data", "tf")).alias("pos"),
+        )
         .distinct()  # two query terms at one offset count once
     )
     a, bb = mpos.alias("a"), mpos.alias("b")

@@ -17,6 +17,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 from docinsight_spark.corpus import make_corpus
 from docinsight_spark.functions.tokenizer import tokenize_code_pandas
 from docinsight_spark.index.builder import IndexBuilder
+from docinsight_spark.index.codec import unpack_positions
 from docinsight_spark.index.phrase import phrase_search
 from docinsight_spark.operators.postings import build_postings
 
@@ -115,7 +116,11 @@ def test_kernel_positions_match_token_stream(spark, tiny_corpus):
             expect.setdefault(t, []).append(i)
         assert set(g.index) == set(expect)
         for t, pos in expect.items():
-            got = list(g.loc[t, "positions"])
+            # packed delta-gap VByte since round 6: decode must recover
+            # the exact ascending token offsets (kernel-parity gate)
+            got = unpack_positions(
+                g.loc[t, "pos_data"], int(g.loc[t, "tf"])
+            ).tolist()
             assert got == pos, (path, t, got[:5], pos[:5])
             assert int(g.loc[t, "tf"]) == len(pos)
 
@@ -126,7 +131,9 @@ def test_declarative_positions_match_simple_tokens(spark):
         "repo string, path string, commit string, lang string, content string",
     )
     posts = {
-        r["term"]: (r["tf"], list(r["positions"]))
+        r["term"]: (
+            r["tf"], unpack_positions(r["pos_data"], int(r["tf"])).tolist()
+        )
         for r in build_postings(
             docs, code_aware=False, with_positions=True
         ).collect()
@@ -260,6 +267,137 @@ def test_phrase_delete_resurrect_compact(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# proximity NEAR(w) retrieval (round 6)
+# ---------------------------------------------------------------------------
+
+
+def _prox_counts(tokens: list[str], qtoks: list[str], w: int) -> int:
+    """Anchored NEAR(w): count positions of qtoks[0] with every other
+    query token occurring within ±w tokens."""
+    pos: dict[str, list[int]] = {}
+    for i, t in enumerate(tokens):
+        pos.setdefault(t, []).append(i)
+    if any(t not in pos for t in qtoks):
+        return 0
+    return sum(
+        1
+        for p in pos[qtoks[0]]
+        if all(any(abs(q - p) <= w for q in pos[t]) for t in qtoks[1:])
+    )
+
+
+def _prox_oracle_scores(
+    corpus_pdf: pd.DataFrame, query: str, w: int, lang: str = "java"
+) -> dict[str, float]:
+    import math
+
+    toks = _doc_tokens(corpus_pdf)
+    qtoks = list(
+        tokenize_code_pandas(pd.Series([query]), pd.Series([lang]))[0]
+    )
+    dl = toks.map(len)
+    live = dl > 0
+    n_docs, avgdl = int(live.sum()), float(dl[live].mean())
+    tf = toks.map(lambda ts: _prox_counts(list(ts), qtoks, w))
+    hit = tf > 0
+    df = int(hit.sum())
+    if df == 0:
+        return {}
+    idf = math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+    return {
+        path: idf * t * (K1 + 1) / (t + K1 * (1 - B + B * d / avgdl))
+        for path, t, d in zip(
+            corpus_pdf["path"][hit], tf[hit], dl[hit], strict=True
+        )
+    }
+
+
+def _prox_engine_scores(spark, b, idx, query: str, w: int) -> dict:
+    from docinsight_spark.index.phrase import proximity_search
+
+    res = proximity_search(spark, idx, [(0, query)], k=10_000, window=w)
+    dim = b.docs_dim().select("docID", "path")
+    return {
+        r["path"]: r["score"]
+        for r in res.join(dim, "docID").select("path", "score").collect()
+    }
+
+
+def _pick_near_pair(corpus_pdf: pd.DataFrame, doc_i: int, gap: int) -> str:
+    """Two tokens of one doc separated by ``gap`` positions (NOT
+    adjacent) — a query phrase search would miss but NEAR(≥gap) hits."""
+    ts = list(_doc_tokens(corpus_pdf).iloc[doc_i])
+    for i in range(len(ts) - gap):
+        a, bb = ts[i], ts[i + gap]
+        if a != bb and ts[i + 1] != bb:  # ensure not also adjacent here
+            return f"{a} {bb}"
+    raise AssertionError("fixture doc too short to pick a near pair")
+
+
+def test_proximity_matches_python_oracle(spark, ph_setup):
+    pdf = ph_setup["pdf"]
+    for doc_i, gap, w in [(3, 3, 4), (10, 4, 4), (40, 2, 8)]:
+        q = _pick_near_pair(pdf, doc_i, gap)
+        want = _prox_oracle_scores(pdf, q, w)
+        assert want, f"picked near-pair {q!r} matches nothing"
+        got = _prox_engine_scores(spark, ph_setup["b"], ph_setup["idx"], q, w)
+        _assert_same_scores(got, want)
+
+
+def test_proximity_wider_than_phrase(spark, ph_setup):
+    """A non-adjacent co-occurring pair: phrase search misses it in the
+    picked doc, NEAR(w) finds it; NEAR(1) behaves like unordered
+    adjacency (subset check)."""
+    pdf = ph_setup["pdf"]
+    q = _pick_near_pair(pdf, 7, 3)
+    doc_path = pdf["path"][7]
+    phr = _engine_scores(spark, ph_setup["b"], ph_setup["idx"], q)
+    near = _prox_engine_scores(spark, ph_setup["b"], ph_setup["idx"], q, 4)
+    assert doc_path in near
+    assert doc_path not in phr
+    w1 = _prox_oracle_scores(pdf, q, 1)
+    got1 = _prox_engine_scores(spark, ph_setup["b"], ph_setup["idx"], q, 1)
+    _assert_same_scores(got1, w1)
+
+
+def test_proximity_window_validation(spark, ph_setup):
+    from docinsight_spark.index.phrase import proximity_search
+
+    with pytest.raises(ValueError, match="window"):
+        proximity_search(spark, ph_setup["idx"], [(0, "a b")], window=0)
+
+
+def test_proximity_delete_resurrect(spark, tmp_path):
+    """NEAR(w) under the delete life-cycle: a deleted doc stops
+    matching (root-scoped exclusion inside the kernel), a re-ingested
+    copy matches again — scores oracle-exact at each step."""
+    idx = str(tmp_path / "proxlife")
+    base = make_corpus(spark, 60, seed=57, partitions=2)
+    b = IndexBuilder(spark, idx, n_buckets=4, positions=True)
+    b.build(base)
+    pdf = base.toPandas().sort_values("path").reset_index(drop=True)
+    q = _pick_near_pair(pdf, 5, 3)
+    w = 4
+    victim_path = pdf["path"][5]
+    got0 = _prox_engine_scores(spark, b, idx, q, w)
+    assert victim_path in got0
+    _assert_same_scores(got0, _prox_oracle_scores(pdf, q, w))
+
+    assert b.delete_docs(
+        b.docs_dim().filter(F.col("path") == victim_path)
+    ) is not None
+    surv = pdf[pdf["path"] != victim_path]
+    got1 = _prox_engine_scores(spark, b, idx, q, w)
+    assert victim_path not in got1
+    _assert_same_scores(got1, _prox_oracle_scores(surv, q, w))
+
+    b.add_run(base.filter(F.col("path") == victim_path), "rez")
+    assert b.refresh_delta(fanin=2) is not None
+    got2 = _prox_engine_scores(spark, b, idx, q, w)
+    _assert_same_scores(got2, _prox_oracle_scores(pdf, q, w))
+
+
+# ---------------------------------------------------------------------------
 # keyword-in-context snippets
 # ---------------------------------------------------------------------------
 
@@ -323,9 +461,13 @@ def test_snippet_requires_positions(spark, tmp_path):
 
 
 def test_fsck_positions_integrity(spark, ph_setup):
-    """fsck is green on a healthy positional index and loud when a
-    root's positions are corrupted."""
-    out = ph_setup["b"].fsck()
+    """fsck(deep=True) verifies the packed positional layout (Σtf ==
+    Σn_positions via terminal-byte counting); the default audit skips
+    the O(corpus) scan entirely (round-6 ADVICE: cost surprise)."""
+    shallow = ph_setup["b"].fsck()
+    assert "positions_integrity" not in shallow["checks"]
+    assert shallow["ok"], shallow
+    out = ph_setup["b"].fsck(deep=True)
     assert out["checks"]["positions_integrity"]["ok"], out
     assert out["ok"], out
 
