@@ -110,6 +110,12 @@ def _leased(fn):
 # keeps manifests() at O(1) driver reads under 10^4-10^5 streaming runs.
 _LEDGER = "_ledger.json"
 
+# Past this many graveyard fold-set dirs, compaction rolls them into ONE
+# consolidated set (same bounding principle as the manifest ledger): the
+# ingest gate's copy accounting otherwise reads O(all-time deletes) dirs
+# forever in a high-churn deployment.
+GRAVEYARD_FOLD_MIN = 4
+
 
 def _read_ledger(index_dir: str) -> dict[str, dict]:
     p = f"{index_dir}/manifests/{_LEDGER}"
@@ -839,15 +845,32 @@ class IndexBuilder:
             return "java"
         return sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
 
+    def _graveyard_dirs(self) -> list[str]:
+        """The LIVE graveyard fold-set dirs.  The committed list lives
+        in ``_meta.json`` (round 6): compaction folds the per-victim
+        sets into one consolidated set once fan-out passes
+        ``GRAVEYARD_FOLD_MIN``, so the ingest gate reads O(1) dirs, not
+        O(all-time deletes).  Unlisted dirs under ``graveyard/`` are
+        swept fold leftovers (or a crashed fold's orphan) — garbage,
+        never lineage.  Pre-round-6 indexes have no meta list: fall
+        back to the directory listing (every dir is live there)."""
+        root = f"{self.dir}/graveyard"
+        if fsio.exists(f"{self.dir}/_meta.json"):
+            meta = self.meta()
+            if "graveyard" in meta:
+                return [f"{root}/{d}" for d in meta["graveyard"]]
+        if not fsio.exists(root):
+            return []
+        return [f"{root}/{d}" for d in fsio.listdir(root)]
+
     def _graveyard_ids(self) -> DataFrame | None:
         """docIDs whose dead copies were physically reclaimed at
         compaction — the permanent half of the copy-death ledger (live
-        tombstone markers are the transient half).  Grows O(deleted
-        docs); cleared by :func:`purge_index`."""
-        root = f"{self.dir}/graveyard"
-        if not fsio.exists(root):
-            return None
-        paths = [f"{root}/{d}" for d in fsio.listdir(root)]
+        tombstone markers are the transient half).  Row MULTIPLICITY is
+        the contract: each reclaimed copy contributes one row (the
+        copy-accounting identity counts copies, not docIDs), and folds
+        preserve it exactly.  Cleared by :func:`purge_index`."""
+        paths = self._graveyard_dirs()
         if not paths:
             return None
         return self._read_plain(paths).select("docID")
@@ -1702,17 +1725,23 @@ class IndexBuilder:
 
         gy_root = f"{self.dir}/graveyard"
         if fsio.exists(gy_root):
-            # resurrection ledger: every graveyard fold set must stay
-            # readable and non-empty — the ingest gate's copy accounting
-            # reads them forever.  (No manifest cross-check: graveyard
-            # dirs deliberately outlive their compaction generation's
-            # manifest, which _reclaim_generation deletes when the
-            # generation is itself later compacted away.)
-            dirs = sorted(fsio.listdir(gy_root))
+            # resurrection ledger: every LIVE (meta-listed) graveyard
+            # fold set must stay readable and non-empty — the ingest
+            # gate's copy accounting reads them forever.  Unlisted dirs
+            # are swept rollup leftovers (pending gc / crashed fold) —
+            # reported, never an error.  (No manifest cross-check:
+            # graveyard sets deliberately outlive their compaction
+            # generation's manifest.)
+            live = self._graveyard_dirs()
+            live_names = {d.rsplit("/", 1)[1] for d in live}
+            orphans = sorted(
+                d for d in fsio.listdir(gy_root) if d not in live_names
+            )
             bad = []
-            for dname in dirs:
+            for path in sorted(live):
+                dname = path.rsplit("/", 1)[1]
                 try:
-                    got, _ = _footer_rows(f"{gy_root}/{dname}", spark=self.spark)
+                    got, _ = _footer_rows(path, spark=self.spark)
                 except Exception as exc:
                     bad.append(f"{dname}: unreadable ({exc})")
                     continue
@@ -1720,7 +1749,10 @@ class IndexBuilder:
                     bad.append(f"{dname}: empty")
             rec(
                 "graveyard", not bad,
-                "; ".join(bad) or f"{len(dirs)} fold sets",
+                "; ".join(bad)
+                or f"{len(live)} live fold sets"
+                + (f"; {len(orphans)} swept leftovers pending gc"
+                   if orphans else ""),
             )
 
         covered = self._covered_runs()
@@ -2117,13 +2149,34 @@ class IndexBuilder:
         # marker keeps the old copy invisible and the retried fold
         # converges the accounting.
         grave = self._tombstone_docs_for_roots(victims)
+        gy_live = [d.rsplit("/", 1)[1] for d in self._graveyard_dirs()]
+        gy_stale: list[str] = []
         if grave is not None:
             grave.select("docID").write.mode("overwrite").parquet(
                 f"{self.dir}/graveyard/{gid}"
             )
-        # same docs, same global stats — generation list and tombstone
-        # coverage change together
-        meta.update(generations=survivors, tombstones=new_tombs)
+            gy_live = sorted(set(gy_live) | {gid})
+        if len(gy_live) > GRAVEYARD_FOLD_MIN:
+            # graveyard rollup: consolidate the fold sets into ONE dir
+            # (row multiplicity preserved — copy accounting needs it),
+            # committed by the same meta flip as the generation swap.
+            # The superseded dirs are swept AFTER the commit (inline or
+            # via the gc grace protocol, matching delete_victims); a
+            # crash in between leaves them orphaned-but-unlisted, which
+            # the next rollup sweeps.
+            fold_id = f"fold{gid[3:]}-{uuid.uuid4().hex[:8]}"
+            self._read_plain(
+                [f"{self.dir}/graveyard/{d}" for d in gy_live]
+            ).select("docID").write.mode("overwrite").parquet(
+                f"{self.dir}/graveyard/{fold_id}"
+            )
+            gy_stale = gy_live
+            gy_live = [fold_id]
+        # same docs, same global stats — generation list, tombstone
+        # coverage and the graveyard fold-set list change together
+        meta.update(
+            generations=survivors, tombstones=new_tombs, graveyard=gy_live
+        )
         _atomic_write_json(f"{self.dir}/_meta.json", meta)
         self._commit(
             f"generation-{gid}",
@@ -2147,10 +2200,11 @@ class IndexBuilder:
         # this returns.  Concurrent-reader deployments (including the
         # continuous streaming mode) write a tombstone instead and let
         # :meth:`gc_generations` delete after a grace period.
+        gy_stale_paths = [f"{self.dir}/graveyard/{d}" for d in gy_stale]
         if delete_victims:
             for vid in victims:
                 self._reclaim_generation(vid)
-            for p in tomb_cleanup:
+            for p in tomb_cleanup + gy_stale_paths:
                 fsio.rmtree(p)
         else:
             for vid in victims:
@@ -2159,14 +2213,16 @@ class IndexBuilder:
                     {"unit": f"gc-{vid}", "status": "complete",
                      "gen_id": vid, "ts": time.time()},
                 )
-            if tomb_cleanup:
-                # reclaimed tombstone partitions get the same deferred
-                # treatment as victim generations: a reader on the OLD
-                # meta still applies them mid-scan
+            if tomb_cleanup or gy_stale_paths:
+                # reclaimed tombstone partitions and superseded graveyard
+                # fold sets get the same deferred treatment as victim
+                # generations: a reader on the OLD meta still reads them
+                # mid-scan
                 _atomic_write_json(
                     self._mpath(f"gc-{gid}-tombs"),
                     {"unit": f"gc-{gid}-tombs", "status": "complete",
-                     "paths": tomb_cleanup, "ts": time.time()},
+                     "paths": tomb_cleanup + gy_stale_paths,
+                     "ts": time.time()},
                 )
         self.fold_ledger()
         return gid

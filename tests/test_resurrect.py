@@ -299,3 +299,61 @@ def test_score_shard_root_scoped_exclusion():
     all_by_doc = {doc: score for (_q, doc, score) in got_all}
     assert by_doc[2] < all_by_doc[2]
     assert by_doc[1] == pytest.approx(all_by_doc[1])
+
+
+def test_graveyard_rollup_bounds_ingest_reads(spark, tmp_path, monkeypatch):
+    """Round-6 graveyard rollup: after many delete→compact cycles the
+    ingest gate reads ONE consolidated graveyard set (meta-listed), not
+    O(all-time deletes) dirs — with resurrection semantics (copy
+    multiplicity!) unchanged: a doc deleted and physically reclaimed
+    TWICE still resurrects, and a pending third copy still blocks."""
+    from docinsight_spark.index import builder as B
+
+    monkeypatch.setattr(B, "GRAVEYARD_FOLD_MIN", 2)  # fold early in test
+    idx = str(tmp_path / "gyroll")
+    base = make_corpus(spark, 50, seed=77, partitions=2)
+    b = IndexBuilder(spark, idx, n_buckets=2)
+    b.build(base)
+
+    # five ingest→delete-a-generation-doc→compact cycles: each physical
+    # reclaim moves that cycle's markers into a fresh graveyard set
+    # (base markers never reach the graveyard — base doesn't compact)
+    deleted_paths = []
+    for i in range(5):
+        newdocs = make_corpus(spark, 5, seed=100 + i, partitions=1,
+                              start=60 + 5 * i)
+        b.add_run(newdocs, f"d{i}")
+        assert b.refresh_delta(fanin=2) is not None
+        vp = newdocs.toPandas().sort_values("path")["path"].iloc[0]
+        deleted_paths.append(vp)
+        assert b.delete_docs(
+            b.docs_dim().filter(F.col("path") == vp)
+        ) is not None
+        assert b.compact(force=True, delete_victims=True) is not None
+
+    meta = b.meta()
+    assert "graveyard" in meta and meta["graveyard"]
+    assert len(meta["graveyard"]) <= B.GRAVEYARD_FOLD_MIN + 1
+    assert any(d.startswith("fold") for d in meta["graveyard"])
+    # physically: unlisted dirs were swept inline
+    on_disk = set(os.listdir(f"{idx}/graveyard"))
+    assert on_disk == set(meta["graveyard"])
+    # the base copies were NOT compacted (base never rewrites), so their
+    # markers are still live; generation-root markers moved to the
+    # graveyard.  The accounting identity must still hold: fsck green.
+    audit = b.fsck()
+    assert audit["ok"], audit
+    assert audit["checks"]["graveyard"]["ok"]
+
+    # resurrection still works through the folded set: every copy of a
+    # cycle-0 victim is dead (its marker moved to the graveyard long
+    # ago and was folded) — re-ingest must admit it and make it live
+    rez_path = deleted_paths[0]
+    assert b.docs_dim().filter(F.col("path") == rez_path).count() == 0
+    b.add_run(
+        make_corpus(spark, 5, seed=100, partitions=1, start=60)
+        .filter(F.col("path") == rez_path),
+        "rez",
+    )
+    assert b.refresh_delta(fanin=2) is not None
+    assert b.docs_dim().filter(F.col("path") == rez_path).count() == 1
