@@ -386,9 +386,14 @@ def cmd_report(args) -> int:
     if id_col is None:
         qdocs = qdocs.withColumn("doc_id", F.xxhash64(text_col))
     ew = getattr(args, "evidence_window", 0) or None
+    ev_corpus = (
+        spark.read.parquet(args.corpus)
+        if ew and getattr(args, "corpus", None)
+        else None
+    )
     sent, spans, orig = analyze_documents(
         spark, args.index, qdocs, id_col="doc_id", text_col=text_col,
-        k=args.k, evidence_window=ew,
+        k=args.k, evidence_window=ew, corpus=ev_corpus,
     )
     top = top_risk_spans(spans, n=3)
     orig_rows = [r.asDict() for r in orig.collect()]
@@ -407,13 +412,16 @@ def cmd_report(args) -> int:
             Window.partitionBy("doc_id")
             .orderBy(F.col("fused_score").desc(), F.col("idx"))
         )
+        ev_cols = ["doc_id", "idx", "sentence", "best_match",
+                   "match_snippet_start", "match_snippet_matches",
+                   "fused_score"]
+        if "match_snippet_text" in sent.columns:
+            ev_cols.append("match_snippet_text")
         ev = (
             sent.filter(F.col("best_match") != "")
             .withColumn("_r", wv)
             .filter(F.col("_r") <= 3)
-            .select("doc_id", "idx", "sentence", "best_match",
-                    "match_snippet_start", "match_snippet_matches",
-                    "fused_score")
+            .select(*ev_cols)
         )
         out["evidence"] = [r.asDict() for r in ev.collect()]
     if args.out:
@@ -576,6 +584,11 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--evidence-window", type=int, default=0,
                    help="attach matched-sentence evidence spans of this "
                         "many tokens (needs a --positions index)")
+    r.add_argument("--corpus", default=None,
+                   help="with --evidence-window: the indexed corpus "
+                        "parquet — evidence then includes the matched "
+                        "KWIC text itself (the index stores no content; "
+                        "only the distinct best-match docs are read)")
     r.add_argument("--out")
     r.set_defaults(fn=cmd_report)
 

@@ -54,6 +54,7 @@ def analyze_documents(
     text_col: str = "content",
     k: int = 10,
     evidence_window: int | None = None,
+    corpus: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Full originality analysis of a batch of query documents.
 
@@ -63,7 +64,17 @@ def analyze_documents(
     term count of the best ``evidence_window``-token span
     (:func:`docinsight_spark.index.phrase.snippet_windows`) — the
     reference report's matched-sentence evidence display
-    (``analysis/report_builder.py``) re-expressed."""
+    (``analysis/report_builder.py``) re-expressed.
+
+    ``corpus``: the indexed corpus (repo, path, commit, lang, content).
+    The index itself stores no content, so rendering the matched TEXT
+    (not just its offset) needs the source rows; when provided with
+    ``evidence_window``, each matched sentence gains
+    ``match_snippet_text`` — the actual ``evidence_window``-token KWIC
+    span of the best-match doc (the reference shows matched text in
+    ``Docs/report.html``).  Cost is bounded: only the DISTINCT
+    best-match docs (≤ one per query sentence) are semi-joined out of
+    the corpus and re-tokenized."""
     chunks = _chunks_of(docs, id_col, text_col).withColumn(
         "query_id", F.xxhash64("doc_id", "idx")
     ).cache()
@@ -115,6 +126,45 @@ def analyze_documents(
             F.col("n_matches").alias("match_snippet_matches"),
         )
         best = best.join(sn, ["query_id", "_best_id"], "left")
+        if corpus is not None:
+            # render the matched KWIC text: re-tokenize ONLY the distinct
+            # best-match docs (semi-join — never the whole corpus) with
+            # the index's own tokenizer, slice at the snippet offset
+            from docinsight_spark.functions.tokenizer import simple_tokens_col
+            from docinsight_spark.operators.postings import with_doc_id
+
+            matched = best.select(
+                F.col("_best_id").alias("docID")
+            ).distinct()
+            tokcol = (
+                _tok(F.col("content"), F.col("lang"))
+                if bool(_m.get("code_aware", True))
+                else simple_tokens_col("content")
+            )
+            mt = (
+                with_doc_id(corpus)
+                .join(matched, "docID", "left_semi")
+                .select(F.col("docID").alias("_best_id"), tokcol.alias("_toks"))
+            )
+            best = (
+                best.join(mt, "_best_id", "left")
+                .withColumn(
+                    "match_snippet_text",
+                    F.when(
+                        F.col("match_snippet_start").isNotNull()
+                        & F.col("_toks").isNotNull(),
+                        F.array_join(
+                            F.slice(
+                                F.col("_toks"),
+                                F.col("match_snippet_start") + F.lit(1),
+                                F.lit(int(evidence_window)),
+                            ),
+                            " ",
+                        ),
+                    ),
+                )
+                .drop("_toks")
+            )
     best = best.drop("query_id").withColumn(
         "best_match", F.col("_best_id").cast("string")
     ).drop("_best_id")

@@ -51,6 +51,30 @@ def render_html(report: dict) -> str:
             f"<td>{int(sp.get('token_count', 0))}</td>"
             "</tr>"
         )
+    ev = report.get("evidence", [])
+    ev_rows = []
+    for e in ev:
+        start = e.get("match_snippet_start")
+        snip = e.get("match_snippet_text") or ""
+        ev_rows.append(
+            "<tr>"
+            f"<td>{html.escape(str(e.get('doc_id', '')))}</td>"
+            f"<td>{int(e.get('idx', 0))}</td>"
+            f"<td><code>{html.escape(str(e.get('sentence', ''))[:160])}</code></td>"
+            f"<td>{html.escape(str(e.get('best_match', '')))}</td>"
+            f"<td>{'' if start is None else int(start)}</td>"
+            f"<td><code>{html.escape(str(snip)[:200])}</code></td>"
+            "</tr>"
+        )
+    ev_html = ""
+    if ev_rows:
+        ev_html = f"""
+<h2>Matched-sentence evidence</h2>
+<table>
+<tr><th>doc</th><th>line</th><th>query sentence</th><th>matched doc</th>
+<th>offset</th><th>matched text (KWIC)</th></tr>
+{''.join(ev_rows)}
+</table>"""
     return f"""<!DOCTYPE html>
 <html lang="en"><head><meta charset="utf-8">
 <title>DocInsight-Spark originality report</title>
@@ -73,6 +97,6 @@ def render_html(report: dict) -> str:
 <table>
 <tr><th>doc</th><th>risk</th><th>lines</th><th>avg score</th><th>tokens</th></tr>
 {''.join(span_rows) or '<tr><td colspan="5">no risk spans</td></tr>'}
-</table>
+</table>{ev_html}
 </body></html>
 """

@@ -383,3 +383,37 @@ def test_cli_ingest_with_neardup_store(spark, tmp_path, capsys):
     assert out["neardup_fold"] == 0  # first fold committed
     import glob as _glob
     assert not _glob.glob(f"{nd}/bands/unit=*")  # victims reclaimed
+
+
+def test_cli_report_evidence_snippet_text(spark, cli_env, capsys):
+    """`report --evidence-window W --corpus <parquet>` renders the
+    actual matched KWIC token span (round 6) — JSON carries
+    match_snippet_text and the HTML page shows it (the reference
+    displays matched text in its report)."""
+    import html as _html
+
+    idx = f"{cli_env['root']}/idx_pos"
+    assert cli_main([
+        "build", "--corpus", cli_env["corpus"], "--index", idx,
+        "--buckets", "4", "--positions",
+    ]) == 0
+    capsys.readouterr()
+    rep_out = f"{cli_env['root']}/report_ev.json"
+    assert cli_main([
+        "report", "--index", idx, "--queries", cli_env["queries"],
+        "--k", "5", "--evidence-window", "8",
+        "--corpus", cli_env["corpus"], "--out", rep_out,
+    ]) == 0
+    with open(rep_out) as f:
+        rep = json.load(f)
+    ev = rep.get("evidence", [])
+    assert ev, "no evidence rows (verbatim queries should match)"
+    with_text = [e for e in ev if e.get("match_snippet_text")]
+    assert with_text, ev[:2]
+    for e in with_text:
+        assert len(e["match_snippet_text"].split(" ")) >= 1
+        assert e["match_snippet_start"] is not None
+    with open(rep_out[: -len(".json")] + ".html") as f:
+        page = f.read()
+    assert "Matched-sentence evidence" in page
+    assert _html.escape(with_text[0]["match_snippet_text"][:200]) in page

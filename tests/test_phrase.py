@@ -490,12 +490,28 @@ def test_report_pipeline_evidence_snippets(spark, ph_setup, tmp_path):
         [(1, "\n".join(lines))], "doc_id long, content string"
     )
     sent, _spans, _orig = analyze_documents(
-        spark, ph_setup["idx"], qdocs, k=5, evidence_window=8
+        spark, ph_setup["idx"], qdocs, k=5, evidence_window=8,
+        corpus=ph_setup["base"],
     )
     rows = sent.filter(F.col("best_match") != "").collect()
     assert rows, "verbatim sentences found no match"
     assert all(r["match_snippet_start"] is not None for r in rows)
     assert all(r["match_snippet_matches"] >= 1 for r in rows)
+    # rendered KWIC text (round 6): the snippet string is the EXACT
+    # token slice [start, start+W) of the matched doc's token stream
+    dim = {
+        str(r["docID"]): r["path"]
+        for r in ph_setup["b"].docs_dim().select("docID", "path").collect()
+    }
+    toks_by_path = dict(
+        zip(pdf["path"], _doc_tokens(pdf), strict=True)
+    )
+    for r in rows:
+        ts = list(toks_by_path[dim[r["best_match"]]])
+        start = int(r["match_snippet_start"])
+        want_txt = " ".join(ts[start : start + 8])
+        assert r["match_snippet_text"] == want_txt, (
+            r["match_snippet_text"], want_txt)
 
     # positionless index → loud
     idx2 = str(tmp_path / "nopos3")
