@@ -29,7 +29,16 @@ Runs the engine's flagship workloads at ``$SPARK_GRAFT_SF_DIR``
                       buy-in (``extras.positional_vs_build``) and a
                       10-phrase exact-phrase batch in one plan
                       (``extras.phrase_batch_qps``); both excluded
-                      from the total (new stages in round 5)
+                      from the total (new stages in round 5; round 6
+                      packs positions delta-gap+VByte and scores in a
+                      candidate-bounded kernel)
+* ``proximity_query`` — NEAR(4) windowed-containment batch over the
+                      positional index (``extras.proximity_batch_qps``;
+                      excluded from the total, new in round 6)
+* ``and_query``     — the 40-query mix served conjunctively through
+                      the block-max kernel's mandatory-term
+                      intersection (``extras.and_qps``; excluded from
+                      the total, new in round 6)
 
 Scaling evidence (local[8] vs local[32]) is produced separately by
 ``scripts/scaling_bench.py`` and recorded in ``BENCH/BASELINE.md``.
@@ -381,6 +390,30 @@ def main() -> None:
         extras["phrase_batch_qps"] = round(
             len(phrases) / timings["phrase_query"], 2
         )
+
+        # -- proximity NEAR(4) over the same positional index (round 6):
+        #    the same 10 term-sets served with windowed containment
+        from docinsight_spark.index.phrase import proximity_search
+
+        def _prox():
+            return proximity_search(
+                spark, pos_dir, phrases, k=10, window=4
+            ).count()
+
+        extras["proximity_batch_rows"] = bench("proximity_query", _prox)
+        extras["proximity_batch_qps"] = round(
+            len(phrases) / timings["proximity_query"], 2
+        )
+
+        # -- boolean AND through the block-max kernel (round 6): the
+        #    standard 40-query mix served conjunctively on the MAIN index
+        def _and():
+            return wand_search(
+                spark, idx_dir, queries, k=10, require_all=True
+            ).count()
+
+        extras["and_result_rows"] = bench("and_query", _and)
+        extras["and_qps"] = round(40 / timings["and_query"], 2)
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
         shutil.rmtree(corpus_dir, ignore_errors=True)
@@ -398,7 +431,8 @@ def main() -> None:
             v for k, v in timings.items()
             if k not in ("datagen", "refresh_delta", "delete_docs",
                          "neardup_store_build", "neardup_probe",
-                         "positional_build", "phrase_query")
+                         "positional_build", "phrase_query",
+                         "proximity_query", "and_query")
         ),
         3,
     )

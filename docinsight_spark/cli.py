@@ -276,6 +276,13 @@ def cmd_query(args) -> int:
         from docinsight_spark.index.phrase import phrase_search
 
         res = phrase_search(spark, args.index, queries, k=args.k)
+    elif mode == "near":
+        from docinsight_spark.index.phrase import proximity_search
+
+        res = proximity_search(
+            spark, args.index, queries, k=args.k,
+            window=getattr(args, "near_window", 8),
+        )
     elif mode == "prefix":
         from docinsight_spark.index.wand import prefix_search
 
@@ -561,14 +568,20 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--index", required=True)
     q.add_argument("--queries", required=True, help="parquet with query_id, query_text")
     q.add_argument("--k", type=int, default=10)
-    q.add_argument("--mode", choices=["or", "and", "phrase", "prefix"],
+    q.add_argument("--mode",
+                   choices=["or", "and", "phrase", "near", "prefix"],
                    default="or",
                    help="or: BM25 bag-of-words; and: every term required "
                         "(both on the block-max WAND fast path); phrase: "
-                        "exact adjacency (needs a positions=True index); "
-                        "prefix: wildcard `pre*` dictionary expansion.  In "
-                        "or/and modes, `-word` excludes docs containing it "
-                        "(boolean NOT, also on the fast path)")
+                        "exact adjacency; near: every term within "
+                        "--near-window tokens of the first (both need a "
+                        "positions=True index); prefix: wildcard `pre*` "
+                        "dictionary expansion.  In or/and modes, `-word` "
+                        "excludes docs containing it (boolean NOT, also "
+                        "on the fast path)")
+    q.add_argument("--near-window", type=int, default=8,
+                   help="near mode: the ± token window around the "
+                        "first-term anchor")
     q.add_argument("--max-expansions", type=int, default=16,
                    help="prefix mode: expansion cap per prefix (highest df)")
     q.add_argument("--snippet-window", type=int, default=0,

@@ -427,6 +427,19 @@ class Searcher:
             self.spark, self.index_dir, queries, k=k, _meta=self.meta
         )
 
+    def proximity(self, queries: DataFrame | list[tuple[int, str]],
+                  k: int = 10, window: int = 8) -> DataFrame:
+        """NEAR(w) proximity top-k in server mode (needs a
+        positions=True index); refresh-transparent like :meth:`search`."""
+        from docinsight_spark.index.phrase import proximity_search
+
+        if self.auto_reload:
+            self._maybe_reload()
+        return proximity_search(
+            self.spark, self.index_dir, queries, k=k, window=window,
+            _meta=self.meta,
+        )
+
     def prefix(self, prefixes: list[tuple[int, str]], k: int = 10,
                max_expansions: int = 16) -> DataFrame:
         """Wildcard top-k in server mode; reuses the cached term_stats

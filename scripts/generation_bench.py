@@ -11,6 +11,9 @@ compaction — the numbers that justify the compaction policy's
 
 Usage: python scripts/generation_bench.py [base_files] [delta_files] [n_deltas]
 → JSON on stdout.  Host-gated like every bench in this repo.
+Env ``GEN_BENCH_POSITIONS=1`` runs the WHOLE life-cycle with
+``positions=True`` (packed delta-gap VByte payloads riding every
+merge/fold) — the positional generation-overhead record.
 """
 
 from __future__ import annotations
@@ -58,7 +61,8 @@ def main() -> None:
         return round(time.time() - t0, 2)
 
     try:
-        b = IndexBuilder(spark, idx, n_buckets=32)
+        positions = os.environ.get("GEN_BENCH_POSITIONS", "") == "1"
+        b = IndexBuilder(spark, idx, n_buckets=32, positions=positions)
         t0 = time.time()
         b.build(
             make_corpus(spark, BASE_FILES, seed=1, partitions=cores * 2),
@@ -86,6 +90,7 @@ def main() -> None:
         print(
             json.dumps(
                 {
+                    "positions": positions,
                     "base_files": BASE_FILES,
                     "delta_files": DELTA_FILES,
                     "n_deltas": N_DELTAS,

@@ -360,6 +360,22 @@ def test_proximity_wider_than_phrase(spark, ph_setup):
     _assert_same_scores(got1, w1)
 
 
+def test_searcher_proximity_matches_direct(spark, ph_setup):
+    from docinsight_spark.index.wand import Searcher
+
+    q = _pick_near_pair(ph_setup["pdf"], 9, 3)
+    s = Searcher(spark, ph_setup["idx"], cache=False)
+    direct = _prox_engine_scores(spark, ph_setup["b"], ph_setup["idx"], q, 4)
+    dim = ph_setup["b"].docs_dim().select("docID", "path")
+    via = {
+        r["path"]: r["score"]
+        for r in s.proximity([(0, q)], k=10_000, window=4)
+        .join(dim, "docID").select("path", "score").collect()
+    }
+    assert direct
+    _assert_same_scores(via, direct)
+
+
 def test_proximity_window_validation(spark, ph_setup):
     from docinsight_spark.index.phrase import proximity_search
 
