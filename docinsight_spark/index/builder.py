@@ -805,9 +805,14 @@ class IndexBuilder:
             # the next merge wave, then dead): cheap snappy beats the session
             # zstd here — encode CPU was the hottest JVM stage of the build.
             # Long-lived artifacts (segments, docs, stats) keep zstd.
-            postings.write.mode("overwrite").option("compression", "snappy").parquet(
-                f"{base}/postings"
-            )
+            # EXCEPT positional runs: the positions column dominates the
+            # bytes and made the positional build write-bandwidth-bound
+            # (the round-5 0.75 scaling leg); zstd cuts the volume ~15-25 %
+            # (measured — and beats a hand-rolled VByte binary packing,
+            # which LOSES to parquet's int encodings at code's p50 tf=1).
+            postings.write.mode("overwrite").option(
+                "compression", self._postings_codec()
+            ).parquet(f"{base}/postings")
             docs.select(
                 "docID", "repo", "path", "commit", "lang", "content_sha"
             ).observe(lang_obs, *lang_metrics).write.mode("overwrite").parquet(
@@ -955,6 +960,15 @@ class IndexBuilder:
         )
         return definite_new.unionByName(survivors)
 
+    def _postings_codec(self) -> str:
+        """Parquet codec for run/merged postings.  Plain builds: snappy
+        (write-once-read-once intermediates; encode CPU dominated).
+        Positional builds: zstd — the positions column dominates bytes,
+        the merged output is long-lived (phrase/proximity read it per
+        query), and the measured inflation drops 1.83× → 1.58× vs the
+        plain layout."""
+        return "zstd" if self.positions else "snappy"
+
     # -- stage 2: hierarchical merge waves ---------------------------------
 
     def _gen_manifests(self) -> list[dict]:
@@ -1093,8 +1107,10 @@ class IndexBuilder:
             .sortWithinPartitions("doc_bucket", "doc_sub", "term", "docID")
             .write.mode("overwrite")
             # merge-wave outputs are intermediates too (read once by the
-            # next wave or by finalize) — snappy, same rationale as runs
-            .option("compression", "snappy")
+            # next wave or by finalize) — snappy, same rationale as runs;
+            # positional merges take zstd (the terminal one is long-lived
+            # and the positions bytes dominate the write volume)
+            .option("compression", self._postings_codec())
             .partitionBy("doc_bucket")
             .parquet(f"{out}/postings")
         )
@@ -1191,10 +1207,10 @@ class IndexBuilder:
             "b": self.b,
             "code_aware": self.code_aware,
             "positions": self.positions,
-            # positional layout generation: packed delta-gap VByte
-            # (codec.pack_positions_groups) since round 6; readers
-            # refuse legacy array<int> positional indexes loudly
-            **({"positions_codec": "vbyte-delta"} if self.positions else {}),
+            # positional layout: array<int> riding parquet's native int
+            # encodings (a VByte binary packing was measured LARGER —
+            # see operators/postings.build_postings); zstd artifacts
+            **({"positions_codec": "array"} if self.positions else {}),
             "query_lang": self._majority_lang(set(base_runs) or None),
             "version": 4,
             # the base segment set's encode-time stats: generations added
@@ -1779,30 +1795,10 @@ class IndexBuilder:
 
         if deep and meta.get("positions", False) and final:
             # positional integrity (deep-only: O(corpus) scan per root):
-            # every live root's merged postings must carry the packed
-            # positions column with Σ n_positions == Σ tf (a VByte value
-            # count is its terminal-byte count — no full decode needed).
-            # A root whose positions were lost (e.g. a mixed-settings
-            # writer) would leave phrase search silently blind/wrong.
-            import pandas as _pd
-            from pyspark.sql.functions import pandas_udf
-
-            def _npos_fn(bufs):
-                return _pd.Series(
-                    [
-                        int((np.frombuffer(b, np.uint8) & 0x80 == 0).sum())
-                        if b is not None
-                        else 0
-                        for b in bufs
-                    ],
-                    dtype="int64",
-                )
-
-            # real annotation objects (PEP-563 stringification breaks
-            # pandas_udf hint resolution in this module)
-            _npos_fn.__annotations__ = {"bufs": _pd.Series,
-                                        "return": _pd.Series}
-            _npos = pandas_udf(_npos_fn, "long")
+            # every live root's merged postings must carry the positions
+            # column with Σ size(positions) == Σ tf — a root whose
+            # positions were lost (e.g. a mixed-settings writer) would
+            # leave phrase search silently blind/wrong
             srcs = [("base", f"{final[0]['source']}/postings")] + [
                 (g["id"], f"{g['merged_source']}/postings")
                 for g in gens if g.get("merged_source")
@@ -1810,16 +1806,16 @@ class IndexBuilder:
             bad = []
             for rid, src in srcs:
                 df = self.spark.read.parquet(src)
-                if "pos_data" not in df.columns:
-                    bad.append(f"{rid}: no pos_data column")
+                if "positions" not in df.columns:
+                    bad.append(f"{rid}: no positions column")
                     continue
                 row = df.agg(
                     F.sum("tf").alias("t"),
-                    F.sum(_npos(F.col("pos_data"))).alias("p"),
+                    F.sum(F.size("positions")).alias("p"),
                 ).first()
                 if int(row["t"] or 0) != int(row["p"] or 0):
                     bad.append(
-                        f"{rid}: Σtf={row['t']} vs Σn_positions={row['p']}"
+                        f"{rid}: Σtf={row['t']} vs Σ|positions|={row['p']}"
                     )
             rec("positions_integrity", not bad, "; ".join(bad))
 
@@ -2065,7 +2061,7 @@ class IndexBuilder:
                 )
                 .sortWithinPartitions("doc_bucket", "doc_sub", "term", "docID")
                 .write.mode("overwrite")
-                .option("compression", "snappy")
+                .option("compression", self._postings_codec())
                 .partitionBy("doc_bucket")
                 .parquet(f"{src}/postings")
             )

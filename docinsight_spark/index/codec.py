@@ -51,64 +51,6 @@ def varint_encode(vals: np.ndarray) -> np.ndarray:
     return groups[keep]
 
 
-def varint_nbytes(vals: np.ndarray) -> np.ndarray:
-    """Encoded VByte length per value (vectorized; ≤ 10 iterations of a
-    shift loop — positions/tfs are small, so usually ≤ 3)."""
-    vals = vals.astype(np.uint64, copy=False)
-    nb = np.ones(len(vals), dtype=np.int64)
-    v = vals >> _SEVEN
-    while v.any():
-        nb += (v > 0)
-        v = v >> _SEVEN
-    return nb
-
-
-def pack_positions_groups(
-    flat_pos: np.ndarray, starts: np.ndarray
-) -> list[bytes]:
-    """Delta-gap + VByte pack many positions groups at once.
-
-    ``flat_pos``: every group's ascending token offsets concatenated;
-    ``starts``: each group's start index into ``flat_pos`` (ascending,
-    first element 0).  Returns one ``bytes`` payload per group:
-    ``varint(first) ‖ varint(gap)ⁿ⁻¹`` — the same VByte family as the
-    posting segments, ~2-3× smaller than raw int32 arrays on parquet
-    (the round-5 positional-build write-volume fix).  ONE vectorized
-    encode covers every group; the only per-group python is the final
-    byte-slice."""
-    if len(flat_pos) == 0:
-        return []
-    flat = flat_pos.astype(np.uint64, copy=False)
-    deltas = np.empty(len(flat), dtype=np.uint64)
-    deltas[1:] = flat[1:] - flat[:-1]  # cross-group junk fixed next line
-    deltas[starts] = flat[starts]      # group-first stored absolute
-    enc = varint_encode(deltas)
-    ends = np.cumsum(varint_nbytes(deltas))
-    offs = np.concatenate(([0], ends[:-1]))
-    gb_start = offs[starts]
-    gb_end = np.concatenate((gb_start[1:], [int(ends[-1])]))
-    return [enc[s:e].tobytes() for s, e in zip(gb_start, gb_end)]
-
-
-def pack_positions(pos: np.ndarray | list) -> bytes:
-    """One group's ascending positions → delta-gap VByte payload."""
-    arr = np.asarray(pos, dtype=np.int64)
-    if len(arr) == 0:
-        return b""
-    out = pack_positions_groups(arr, np.array([0], dtype=np.int64))
-    return out[0]
-
-
-def unpack_positions(buf: bytes | np.ndarray | None, count: int) -> np.ndarray:
-    """Decode one packed positions payload back to ascending int64
-    offsets; ``count`` is the group's tf (positions per posting are
-    exactly its term frequency)."""
-    if count == 0 or buf is None:
-        return np.empty(0, dtype=np.int64)
-    vals = varint_decode(buf, count)
-    return np.cumsum(vals.astype(np.int64))
-
-
 def varint_decode(buf: np.ndarray, count: int) -> np.ndarray:
     """Decode ``count`` VByte values from a uint8 array (vectorized)."""
     if count == 0:

@@ -13,13 +13,16 @@ sentence-granular fuzzy evidence
 
 The positional artifact is the merged postings parquet itself: when an
 index is built with ``IndexBuilder(positions=True)``, every
-(term, docID) row carries ``pos_data binary`` — the term's token
-offsets, delta-gap + VByte packed (``codec.pack_positions_groups``;
-round 6 — raw ``array<int>`` inflated the positional layout ~1.8× and
-made the build write-bound) — through the run → merge → generation →
-compaction life-cycle (the column rides the existing shard-sorted
-layout as opaque bytes; the WAND segment encoder prunes it).  A
-positional query therefore needs no second index structure:
+(term, docID) row carries ``positions array<int>`` — the term's token
+offsets — through the run → merge → generation → compaction life-cycle
+(the column rides the existing shard-sorted layout; the WAND segment
+encoder prunes it).  Layout note (round 6, measured): a delta-gap +
+VByte ``binary`` packing LOSES to the int array on disk — code's p50
+tf is 1, so parquet's BYTE_ARRAY length prefix dominates while the int
+array rides dictionary/RLE integer pages; the positional write-volume
+fix that wins is zstd on positional artifacts (see
+``IndexBuilder._postings_codec``).  A positional query needs no second
+index structure:
 
 1. scan each live root's merged postings with ``term IN (phrase
    terms)`` — the same row-group-pruned read the segment encoder's
@@ -29,15 +32,18 @@ positional query therefore needs no second index structure:
    matches);
 3. tombstoned copies are excluded (docID, root)-scoped, exactly like
    the WAND kernel — deletes and resurrections need no special casing;
-4. the candidates' packed rows — ``candidates × |phrase|`` rows of
-   VByte bytes, never an exploded position stream — shuffle ONCE by
-   (query, doc) into an Arrow-batched kernel that decodes and
-   intersects offsets vectorized: a phrase occurrence is a base
-   ``pos − off`` hit by EVERY phrase offset; a NEAR(w) occurrence is
-   an anchor (first-term position) with every other term within ±w.
-   (Round 5 exploded positions through two corpus-agg shuffles; the
-   kernel moves ~Σtf·4 bytes less per candidate and does no
-   per-position shuffle at all.)
+4. the candidates' rows — ``candidates × |phrase|`` rows carrying
+   their position arrays, never an exploded position stream — shuffle
+   ONCE by (query, doc) into an Arrow-batched kernel that intersects
+   offsets with ONE batch-wide composite-key count (phrase: a base
+   ``pos − off`` hit by EVERY phrase offset) or a per-group
+   searchsorted (NEAR(w): an anchor with every other term within ±w).
+   Round 5 exploded positions through two corpus-agg hash shuffles;
+   round 6's first cut grouped with applyInPandas and died on
+   per-group pandas overhead at hot-phrase candidate counts — the
+   kernel is therefore mapInPandas over (query, doc)-sorted
+   partitions with a group-carry across Arrow batches, all
+   position-level work vectorized.
 5. BM25 over phrase tf/df with the index's live N/avgdl (delete-
    corrected in ``_meta.json``), round-then-rank top-k.
 
@@ -94,33 +100,16 @@ def _restrict_terms(df: DataFrame, terms: list[str]) -> DataFrame:
     return df.join(F.broadcast(tdf), "term", "left_semi")
 
 
-def unpack_positions_col(pos_col: str, tf_col: str):
-    """``array<int>`` column decoded from packed positions (count = tf)
-    — an Arrow-batched kernel, used only over candidate-restricted rows
-    (snippets / report evidence), never a corpus-wide pass."""
-    import numpy as np
-    from pyspark.sql.functions import pandas_udf
-
-    from docinsight_spark.index.codec import unpack_positions
-
-    def fn(bufs, tfs):
-        return pd.Series(
-            [
-                (
-                    unpack_positions(b, int(t)).astype(np.int32).tolist()
-                    if b is not None
-                    else []
-                )
-                for b, t in zip(bufs, tfs)
-            ],
-            dtype=object,
+def _check_positions_codec(index_dir: str, meta: dict) -> None:
+    """Refuse positional layouts this reader cannot decode (the key is
+    absent on pre-round-6 indexes — those ARE the array layout)."""
+    codec = meta.get("positions_codec", "array")
+    if codec != "array":
+        raise ValueError(
+            f"index at {index_dir} stores positions with codec "
+            f"{codec!r}; this engine reads the 'array' layout — rebuild "
+            "the index"
         )
-
-    # real annotation objects: PEP-563 inline hints stringify and
-    # pandas_udf cannot resolve them in this module
-    fn.__annotations__ = {"bufs": pd.Series, "tfs": pd.Series,
-                          "return": pd.Series}
-    return pandas_udf(fn, "array<int>")(F.col(pos_col), F.col(tf_col))
 
 
 def _phrase_offsets(
@@ -229,12 +218,7 @@ def _positional_search(
             f"index at {index_dir} was built without positions=True; "
             "phrase/proximity search needs positional postings"
         )
-    if meta.get("positions_codec") != "vbyte-delta":
-        raise ValueError(
-            f"index at {index_dir} stores positions in a legacy layout "
-            "(pre-round-6 array<int>); rebuild with this engine version "
-            "to get packed positional postings"
-        )
+    _check_positions_codec(index_dir, meta)
     if code_aware is None:
         code_aware = bool(meta.get("code_aware", True))
     qlang = str(meta.get("query_lang", "java"))
@@ -328,16 +312,22 @@ def _score_phrase_hits(
     spark, index_dir, meta, roots, scan, offs, noff, cand, buckets, k,
     mode: str = "phrase", window: int = 0,
 ) -> DataFrame:
-    """Candidate scoring over PACKED positions: one shuffle of the
-    candidates' (query, off, docID, tf, pos_data) rows by (query, doc),
-    then an Arrow-batched kernel decodes and intersects offsets
-    vectorized — the per-position explode → double hash-agg of round 5
-    never leaves the kernel now.  ``mode='phrase'``: tf = bases hit by
-    every offset; ``mode='near'``: tf = first-term anchors with every
-    other term within ±``window``."""
+    """Candidate scoring in an Arrow-batched kernel: ONE shuffle of the
+    candidates' (query, off, doc, positions) rows, sorted by
+    (query, doc) within partitions, then ``mapInPandas`` intersects
+    offsets with batch-WIDE vectorized ops — no per-position shuffle
+    (round 5 exploded positions through two corpus hash-aggs) and no
+    per-group pandas overhead (an applyInPandas cut measured ~9 ms ×
+    candidate-count: 92 s for a 9.4k-candidate phrase).  Groups
+    splitting across Arrow batch boundaries are carried, the segment-
+    encoder pattern.  ``mode='phrase'``: tf = bases ``pos − off`` hit
+    by every offset (one composite-key unique/count over the whole
+    batch); ``mode='near'``: tf = first-term anchors with every other
+    term within ±``window`` (two searchsorted per row, never per
+    position)."""
     heavy = _union_frames(
         [
-            scan(r, s, ["term", "docID", "tf", "pos_data", "doc_bucket"])
+            scan(r, s, ["term", "docID", "positions", "doc_bucket"])
             for r, s in roots
         ]
     )
@@ -355,70 +345,116 @@ def _score_phrase_hits(
         heavy.join(F.broadcast(offs), "term")
         .join(cand, ["query_id", "docID"], "left_semi")
         .join(F.broadcast(noff), "query_id")
-        .select("query_id", "docID", "_root", "off", "tf", "pos_data", "n")
+        .select("query_id", "docID", "_root", "off", "positions", "n")
+        .repartition("query_id", "docID")
+        .sortWithinPartitions("query_id", "docID", "_root", "off")
     )
 
     import numpy as np
 
-    from docinsight_spark.index.codec import unpack_positions
-
     near_w = int(window)
     is_near = mode == "near"
+    out_schema = "query_id long, docID long, _root string, tf long"
 
-    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
-        empty_out = pd.DataFrame(
-            {
-                "query_id": pd.Series([], dtype="int64"),
-                "docID": pd.Series([], dtype="int64"),
-                "_root": pd.Series([], dtype="object"),
-                "tf": pd.Series([], dtype="int64"),
-            }
-        )
-        n = int(pdf["n"].iloc[0])
+    def _flush(pdf: pd.DataFrame) -> pd.DataFrame | None:
+        """Score every complete group in ``pdf`` (rows pre-sorted by the
+        group key).  All position-level work is vectorized across the
+        WHOLE frame; per-group python is O(groups) cheap ops."""
+        qids = pdf["query_id"].to_numpy()
+        dids = pdf["docID"].to_numpy()
+        rts = pdf["_root"].to_numpy()
+        change = np.flatnonzero(
+            (qids[1:] != qids[:-1])
+            | (dids[1:] != dids[:-1])
+            | (rts[1:] != rts[:-1])
+        ) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(pdf)]))
+        gid = np.zeros(len(pdf), dtype=np.int64)
+        gid[change] = 1
+        gid = np.cumsum(gid)
+        n_groups = len(starts)
+        n_req = pdf["n"].to_numpy()[starts]        # offsets per query
+        rows_per_g = ends - starts
         offs_a = pdf["off"].to_numpy()
-        if len(np.unique(offs_a)) < n:
-            # a candidate admitted by the cross-root pre-pass whose LIVE
-            # copy lacks a term (resurrection with changed content)
-            return empty_out
+        pos_objs = pdf["positions"].to_numpy()
+        lens = np.fromiter((len(p) for p in pos_objs), np.int64, len(pdf))
         if is_near:
-            a0 = int(np.flatnonzero(offs_a == offs_a.min())[0])
-            anchors = unpack_positions(
-                pdf["pos_data"].iloc[a0], int(pdf["tf"].iloc[a0])
-            )
-            ok = np.ones(len(anchors), dtype=bool)
-            for i in range(len(pdf)):
-                if i == a0:
-                    continue
-                q = unpack_positions(
-                    pdf["pos_data"].iloc[i], int(pdf["tf"].iloc[i])
-                )
-                lo = np.searchsorted(q, anchors - near_w, side="left")
-                hi = np.searchsorted(q, anchors + near_w, side="right")
-                ok &= hi > lo
-            t = int(ok.sum())
+            tf_g = np.zeros(n_groups, dtype=np.int64)
+            for g in range(n_groups):
+                s, e = starts[g], ends[g]
+                if rows_per_g[g] < n_req[g]:
+                    continue  # live copy lacks a term (changed content)
+                anchors = np.asarray(pos_objs[s], dtype=np.int64)
+                ok = np.ones(len(anchors), dtype=bool)
+                for i in range(s + 1, e):
+                    q = np.asarray(pos_objs[i], dtype=np.int64)
+                    lo = np.searchsorted(q, anchors - near_w, side="left")
+                    hi = np.searchsorted(q, anchors + near_w, side="right")
+                    ok &= hi > lo
+                tf_g[g] = int(ok.sum())
         else:
-            arrs = [
-                unpack_positions(buf, int(tf)) - np.int64(off)
-                for off, tf, buf in zip(
-                    pdf["off"], pdf["tf"], pdf["pos_data"]
-                )
-            ]
-            _u, c = np.unique(np.concatenate(arrs), return_counts=True)
-            t = int((c == n).sum())
-        if t == 0:
-            return empty_out
+            flat = (
+                np.concatenate([np.asarray(p, np.int64) for p in pos_objs])
+                if len(pos_objs)
+                else np.empty(0, np.int64)
+            )
+            bases = flat - np.repeat(offs_a.astype(np.int64), lens)
+            grep = np.repeat(gid, lens)
+            if len(bases):
+                shift = np.int64(bases.min())
+                span = np.int64(bases.max()) - shift + 1
+                key = grep * span + (bases - shift)
+                uq, cnt = np.unique(key, return_counts=True)
+                kg = uq // span
+                # a group with fewer rows than n (live copy lacking a
+                # term) can never reach cnt == n — no special case
+                mask = cnt == n_req[kg]
+                tf_g = np.bincount(kg[mask], minlength=n_groups)
+            else:
+                tf_g = np.zeros(n_groups, dtype=np.int64)
+        hit = tf_g > 0
+        if not hit.any():
+            return None
+        sel = starts[hit]
         return pd.DataFrame(
             {
-                "query_id": [int(pdf["query_id"].iloc[0])],
-                "docID": [int(pdf["docID"].iloc[0])],
-                "_root": [str(pdf["_root"].iloc[0])],
-                "tf": [t],
+                "query_id": qids[sel],
+                "docID": dids[sel],
+                "_root": rts[sel],
+                "tf": tf_g[hit].astype(np.int64),
             }
         )
 
-    ptf = hits.groupBy("query_id", "docID", "_root").applyInPandas(
-        kern, "query_id long, docID long, _root string, tf long"
-    )
+    def kern(batches):
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if len(pdf) == 0:
+                continue
+            # hold back the (possibly incomplete) last group
+            qids = pdf["query_id"].to_numpy()
+            dids = pdf["docID"].to_numpy()
+            last_q, last_d = qids[-1], dids[-1]
+            tail_start = int(
+                np.flatnonzero((qids != last_q) | (dids != last_d))[-1] + 1
+                if ((qids != last_q) | (dids != last_d)).any()
+                else 0
+            )
+            carry = pdf.iloc[tail_start:].copy()
+            head = pdf.iloc[:tail_start]
+            if len(head):
+                out = _flush(head)
+                if out is not None:
+                    yield out
+        if carry is not None and len(carry):
+            out = _flush(carry)
+            if out is not None:
+                yield out
+
+    ptf = hits.mapInPandas(kern, out_schema)
     pdf = ptf.groupBy("query_id").agg(F.count(F.lit(1)).alias("df"))
 
     stats_dirs = [("base", index_dir)] + [
@@ -496,11 +532,7 @@ def snippet_windows(
             f"index at {index_dir} was built without positions=True; "
             "snippets need positional postings"
         )
-    if meta.get("positions_codec") != "vbyte-delta":
-        raise ValueError(
-            f"index at {index_dir} stores positions in a legacy layout "
-            "(pre-round-6 array<int>); rebuild with this engine version"
-        )
+    _check_positions_codec(index_dir, meta)
     thead = qterms.select("term").distinct().limit(1_000_001).collect()
     if len(thead) > 1_000_000:
         raise ValueError(
@@ -535,7 +567,7 @@ def snippet_windows(
     rows = _union_frames(
         [
             _restrict_terms(spark.read.parquet(src), terms)
-            .select("term", "docID", "tf", "pos_data", "doc_bucket")
+            .select("term", "docID", "positions", "doc_bucket")
             .withColumn("_root", F.lit(rid))
             for rid, src in roots
         ]
@@ -553,11 +585,7 @@ def snippet_windows(
     mpos = (
         rows.join(F.broadcast(qterms), "term")
         .join(F.broadcast(cand), ["query_id", "docID"], "left_semi")
-        .select(
-            "query_id",
-            "docID",
-            F.explode(unpack_positions_col("pos_data", "tf")).alias("pos"),
-        )
+        .select("query_id", "docID", F.explode("positions").alias("pos"))
         .distinct()  # two query terms at one offset count once
     )
     a, bb = mpos.alias("a"), mpos.alias("b")

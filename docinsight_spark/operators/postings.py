@@ -78,18 +78,20 @@ def build_postings(
     oracles; its composite key is fine-grained, so Catalyst's partial
     aggregation absorbs hot-term skew.
 
-    ``with_positions=True`` adds ``pos_data binary`` — the term's
-    ascending token offsets within the document's token stream, packed
-    delta-gap + VByte (``codec.pack_positions_groups``; count == tf) —
-    the artifact exact phrase/proximity search intersects
-    (:mod:`docinsight_spark.index.phrase`).  Packed (round 6) rather
-    than ``array<int>``: raw int arrays inflated the positional merged
-    postings 1.8× and made the positional build write-bandwidth-bound
-    (the 0.75 scaling leg); the VByte payload rides the run → merge →
-    generation life-cycle as an opaque column.  Positions never enter
-    the WAND segments (column-pruned at encode); a phrase query's term
-    IN-list prunes row groups the same way the segment encoder's scan
-    does.
+    ``with_positions=True`` adds ``positions array<int>`` — the term's
+    ascending token offsets within the document's token stream — the
+    artifact exact phrase/proximity search intersects
+    (:mod:`docinsight_spark.index.phrase`).  Layout note (round 6,
+    MEASURED): a delta-gap+VByte ``binary`` packing was tried and is
+    ~25 % LARGER on disk than the int array — most lists hold a single
+    position (p50 tf = 1 on code), so parquet's 4-byte BYTE_ARRAY
+    length prefix dominates, while the int array rides parquet's
+    dictionary/RLE integer encodings.  The write-volume fix that
+    actually wins is zstd on the positional artifacts
+    (``IndexBuilder`` switches codec when ``positions=True``: 1.83× →
+    1.58× merged inflation).  Positions never enter the WAND segments
+    (column-pruned at encode); a phrase query's term IN-list prunes
+    row groups the same way the segment encoder's scan does.
     """
     df = corpus if "docID" in corpus.columns else with_doc_id(corpus)
     if not code_aware:
@@ -100,23 +102,6 @@ def build_postings(
                 .groupBy("term", "docID")
                 .agg(F.count(F.lit(1)).alias("tf"))
             )
-        import numpy as _np
-        import pandas as _pd
-        from pyspark.sql.functions import pandas_udf
-
-        def _pack_fn(arrs):
-            from docinsight_spark.index.codec import pack_positions
-
-            return _pd.Series(
-                [pack_positions(_np.asarray(a, _np.int64)) for a in arrs],
-                dtype=object,
-            )
-
-        # real annotation objects: `from __future__ import annotations`
-        # stringifies inline hints, which pandas_udf cannot resolve
-        _pack_fn.__annotations__ = {"arrs": _pd.Series, "return": _pd.Series}
-        _pack = pandas_udf(_pack_fn, "binary")
-
         return (
             toks.select(
                 "docID", F.posexplode("tokens").alias("pos", "term")
@@ -125,11 +110,9 @@ def build_postings(
             .agg(
                 F.count(F.lit(1)).alias("tf"),
                 F.sort_array(F.collect_list(F.col("pos").cast("int"))).alias(
-                    "_positions_arr"
+                    "positions"
                 ),
             )
-            .withColumn("pos_data", _pack(F.col("_positions_arr")))
-            .drop("_positions_arr")
         )
 
     import numpy as np
@@ -173,25 +156,18 @@ def build_postings(
             bounds = np.flatnonzero(skey[1:] != skey[:-1]) + 1
             firsts = np.concatenate(([0], bounds))
             ordered_pos = pos[order]
-            # delta-gap + VByte pack each group's positions: ONE
-            # vectorized encode for the whole batch, per-group work is
-            # a byte-slice (codec.pack_positions_groups)
-            from docinsight_spark.index.codec import pack_positions_groups
-
             yield pd.DataFrame(
                 {
                     "term": flat[order][firsts],
                     "docID": doc_rep[order][firsts],
                     "tf": np.diff(np.concatenate((firsts, [len(skey)]))),
-                    "pos_data": pack_positions_groups(
-                        ordered_pos.astype(np.int64), firsts
-                    ),
+                    "positions": np.split(ordered_pos, bounds),
                 }
             )
 
     schema = "term string, docID long, tf long"
     if with_positions:
-        schema += ", pos_data binary"
+        schema += ", positions array<int>"
     return df.select("docID", "lang", "content").mapInPandas(kernel, schema=schema)
 
 

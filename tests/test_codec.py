@@ -8,12 +8,8 @@ from docinsight_spark.index.codec import (
     decode_block,
     decode_postings,
     encode_postings,
-    pack_positions,
-    pack_positions_groups,
-    unpack_positions,
     varint_decode,
     varint_encode,
-    varint_nbytes,
 )
 
 
@@ -137,58 +133,3 @@ def test_drift_bound_admissible(tf, dl, tf_extra, dl_extra, avgdl_enc, avgdl_now
         bound = min(bound, float(stored_max))
     # the kernel inflates term uppers by (1+1e-6)+1e-12 for f32 slack
     assert bound * (1.0 + 1e-6) + 1e-12 >= true_score
-
-
-# ---------------------------------------------------------------------------
-# packed positions (round 6): delta-gap + VByte payloads on the merged
-# postings — the positional write-volume fix
-# ---------------------------------------------------------------------------
-
-
-def test_positions_pack_roundtrip_known():
-    for pos in ([0], [5], [0, 1, 2], [5, 6, 1_000_000], [2**30, 2**30 + 1]):
-        arr = np.asarray(pos, dtype=np.int64)
-        assert unpack_positions(pack_positions(arr), len(arr)).tolist() == pos
-    assert unpack_positions(pack_positions([]), 0).tolist() == []
-    assert unpack_positions(None, 0).tolist() == []
-
-
-@settings(deadline=None, max_examples=100)
-@given(
-    st.lists(
-        st.lists(
-            st.integers(min_value=0, max_value=2**31 - 1),
-            min_size=1, max_size=64, unique=True,
-        ),
-        min_size=1, max_size=40,
-    )
-)
-def test_positions_groups_pack_roundtrip_property(groups):
-    groups = [np.sort(np.asarray(g, dtype=np.int64)) for g in groups]
-    flat = np.concatenate(groups)
-    starts = np.cumsum([0] + [len(g) for g in groups[:-1]]).astype(np.int64)
-    packed = pack_positions_groups(flat, starts)
-    assert len(packed) == len(groups)
-    for g, buf in zip(groups, packed, strict=True):
-        assert np.array_equal(unpack_positions(buf, len(g)), g)
-        # single-group packer agrees byte-for-byte (kernel parity)
-        assert pack_positions(g) == buf
-
-
-def test_varint_nbytes_matches_encode():
-    vals = np.array([0, 1, 127, 128, 16_383, 16_384, 2**31, 2**63], np.uint64)
-    nb = varint_nbytes(vals)
-    for v, n in zip(vals, nb, strict=True):
-        assert len(varint_encode(np.array([v], np.uint64))) == n
-
-
-def test_packed_positions_smaller_than_raw_int32():
-    rng = np.random.default_rng(3)
-    groups = []
-    for _ in range(200):
-        n = int(rng.integers(1, 50))
-        groups.append(np.sort(rng.choice(50_000, size=n, replace=False)))
-    flat = np.concatenate(groups).astype(np.int64)
-    starts = np.cumsum([0] + [len(g) for g in groups[:-1]]).astype(np.int64)
-    enc = sum(len(b) for b in pack_positions_groups(flat, starts))
-    assert enc < flat.astype(np.int32).nbytes * 0.75

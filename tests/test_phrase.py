@@ -17,7 +17,6 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 from docinsight_spark.corpus import make_corpus
 from docinsight_spark.functions.tokenizer import tokenize_code_pandas
 from docinsight_spark.index.builder import IndexBuilder
-from docinsight_spark.index.codec import unpack_positions
 from docinsight_spark.index.phrase import phrase_search
 from docinsight_spark.operators.postings import build_postings
 
@@ -116,11 +115,7 @@ def test_kernel_positions_match_token_stream(spark, tiny_corpus):
             expect.setdefault(t, []).append(i)
         assert set(g.index) == set(expect)
         for t, pos in expect.items():
-            # packed delta-gap VByte since round 6: decode must recover
-            # the exact ascending token offsets (kernel-parity gate)
-            got = unpack_positions(
-                g.loc[t, "pos_data"], int(g.loc[t, "tf"])
-            ).tolist()
+            got = list(g.loc[t, "positions"])
             assert got == pos, (path, t, got[:5], pos[:5])
             assert int(g.loc[t, "tf"]) == len(pos)
 
@@ -131,9 +126,7 @@ def test_declarative_positions_match_simple_tokens(spark):
         "repo string, path string, commit string, lang string, content string",
     )
     posts = {
-        r["term"]: (
-            r["tf"], unpack_positions(r["pos_data"], int(r["tf"])).tolist()
-        )
+        r["term"]: (r["tf"], list(r["positions"]))
         for r in build_postings(
             docs, code_aware=False, with_positions=True
         ).collect()
@@ -477,9 +470,9 @@ def test_snippet_requires_positions(spark, tmp_path):
 
 
 def test_fsck_positions_integrity(spark, ph_setup):
-    """fsck(deep=True) verifies the packed positional layout (Σtf ==
-    Σn_positions via terminal-byte counting); the default audit skips
-    the O(corpus) scan entirely (round-6 ADVICE: cost surprise)."""
+    """fsck(deep=True) verifies the positional layout (Σtf ==
+    Σ|positions| per live root); the default audit skips the O(corpus)
+    scan entirely (round-6 ADVICE: cost surprise)."""
     shallow = ph_setup["b"].fsck()
     assert "positions_integrity" not in shallow["checks"]
     assert shallow["ok"], shallow

@@ -216,8 +216,8 @@ def test_phrase_term_pushdown_and_positions_pruning(spark, pos_index, monkeypatc
     pushed = [l for l in p.splitlines() if "PushedFilters" in l]
     assert any("In(term" in l for l in pushed), "\n".join(pushed)
     reads = [l for l in p.splitlines() if "ReadSchema" in l and "term" in l]
-    lite = [l for l in reads if "pos_data" not in l]
-    heavy = [l for l in reads if "pos_data" in l]
+    lite = [l for l in reads if "positions" not in l]
+    heavy = [l for l in reads if "positions" in l]
     assert lite, "candidate pre-pass reads positions bytes:\n" + "\n".join(reads)
     assert heavy, "no scan reads positions at all:\n" + "\n".join(reads)
 
@@ -248,7 +248,7 @@ def test_phrase_encode_input_prunes_positions(spark, pos_index, tiny_corpus):
     enc_in = b._encode_input(merged)
     p = plan_text(enc_in)
     reads = [l for l in p.splitlines() if "ReadSchema" in l]
-    assert reads and all("pos_data" not in l for l in reads), "\n".join(reads)
+    assert reads and all("positions" not in l for l in reads), "\n".join(reads)
 
 
 def test_prefix_expansion_pushdown(spark, small_index):
