@@ -283,16 +283,16 @@ def cmd_query(args) -> int:
             spark, args.index, queries, k=args.k,
             window=getattr(args, "near_window", 8),
         )
-    elif mode == "prefix":
-        from docinsight_spark.index.wand import prefix_search
+    elif mode in ("prefix", "contains", "regex"):
+        from docinsight_spark.index.wand import dictionary_search
 
-        prefixes = [
+        patterns = [
             (int(r["query_id"]), r["query_text"])
             for r in queries.select("query_id", "query_text").collect()
         ]
-        res = prefix_search(
-            spark, args.index, prefixes, k=args.k,
-            max_expansions=args.max_expansions,
+        res = dictionary_search(
+            spark, args.index, patterns, k=args.k,
+            max_expansions=args.max_expansions, mode=mode,
         )
     else:
         # or|and modes; words prefixed `-` are boolean-NOT exclusions
@@ -338,15 +338,15 @@ def cmd_query(args) -> int:
         from docinsight_spark.index.wand import _load_meta, _query_term_map
 
         meta = _load_meta(args.index)
-        if mode == "prefix":
-            # the literal prefix strings ("fi") are not index terms —
+        if mode in ("prefix", "contains", "regex"):
+            # the literal patterns ("fi", "a.e") are not index terms —
             # snippet qterms must be the expanded dictionary terms the
             # retrieval actually matched
-            from docinsight_spark.index.wand import expand_prefix
+            from docinsight_spark.index.wand import expand_dictionary
 
-            qt = expand_prefix(
-                spark, args.index, prefixes,
-                max_expansions=args.max_expansions, _meta=meta,
+            qt = expand_dictionary(
+                spark, args.index, patterns,
+                max_expansions=args.max_expansions, mode=mode, _meta=meta,
             ).select("query_id", "term")
         else:
             qm = _query_term_map(
@@ -569,21 +569,25 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--queries", required=True, help="parquet with query_id, query_text")
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--mode",
-                   choices=["or", "and", "phrase", "near", "prefix"],
+                   choices=["or", "and", "phrase", "near", "prefix",
+                            "contains", "regex"],
                    default="or",
                    help="or: BM25 bag-of-words; and: every term required "
                         "(both on the block-max WAND fast path); phrase: "
                         "exact adjacency; near: every term within "
                         "--near-window tokens of the first (both need a "
-                        "positions=True index); prefix: wildcard `pre*` "
-                        "dictionary expansion.  In or/and modes, `-word` "
-                        "excludes docs containing it (boolean NOT, also "
-                        "on the fast path)")
+                        "positions=True index); prefix/contains/regex: "
+                        "dictionary expansion (`pre*` wildcard, substring "
+                        "anywhere in an identifier, Java-regex partial "
+                        "match — each capped by --max-expansions).  In "
+                        "or/and modes, `-word` excludes docs containing "
+                        "it (boolean NOT, also on the fast path)")
     q.add_argument("--near-window", type=int, default=8,
                    help="near mode: the ± token window around the "
                         "first-term anchor")
     q.add_argument("--max-expansions", type=int, default=16,
-                   help="prefix mode: expansion cap per prefix (highest df)")
+                   help="prefix/contains/regex modes: expansion cap per "
+                        "pattern (highest df)")
     q.add_argument("--snippet-window", type=int, default=0,
                    help="attach a best matched-term window of this many "
                         "tokens to each result (needs a --positions index)")

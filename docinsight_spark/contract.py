@@ -2248,6 +2248,104 @@ def prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Regex top-k (round 6): each pattern expands against the term
+# dictionary under the same df-desc/term-asc cap as prefix_topk, then
+# scores as an OR query through the block-max fast path.  The pattern
+# set sticks to the Java-regex ∩ RE2 common subset with identical
+# partial-match semantics (Spark `rlike` and DuckDB `regexp_matches`
+# both match anywhere unless anchored), so the oracle replays the
+# expansion verbatim.  The dictionary scan is O(vocab) — one tiny
+# column-pruned table — never O(corpus): the Lucene/Zoekt wildcard
+# trade-off.
+# ---------------------------------------------------------------------------
+
+REGEX_QUERIES: list[tuple[int, str]] = [
+    (0, "r$"),
+    (1, "^[gjk]"),
+    (2, "l.w|l.e"),
+    (3, "[aeiou]{2}"),
+]
+
+
+def _regex_oracle_sql(
+    patterns: list[tuple[int, str]] = REGEX_QUERIES,
+    k: int = BM25_K,
+    max_exp: int = _PREFIX_MAX_EXP,
+) -> str:
+    vals = ", ".join(f"({q}, '{p}')" for q, p in patterns)
+    return f"""
+WITH {_SQL_POSTINGS},
+dstats AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
+tstats AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY term),
+c AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dstats),
+pat(query_id, pattern) AS (VALUES {vals}),
+exp AS (
+  SELECT query_id, term, df FROM (
+    SELECT p.query_id, t.term, t.df,
+           row_number() OVER (PARTITION BY p.query_id
+                              ORDER BY t.df DESC, t.term) AS r
+    FROM pat p JOIN tstats t ON regexp_matches(t.term, p.pattern)
+  ) WHERE r <= {max_exp}
+),
+scored AS (
+  SELECT e.query_id::BIGINT AS query_id, po.doc_id,
+         sum(
+           ln((c.n - e.df + 0.5) / (e.df + 0.5) + 1.0)
+           * po.tf * 2.2 / (po.tf + 1.2 * (0.25 + 0.75 * d.dl / c.avgdl))
+         ) AS s
+  FROM exp e
+  JOIN postings po USING (term)
+  JOIN dstats d USING (doc_id)
+  CROSS JOIN c
+  GROUP BY 1, 2
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, round(s, 4) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 4) DESC, doc_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+@_register("regex_topk", _regex_oracle_sql())
+def regex_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex top-10 end-to-end: dictionary expansion (O(vocab) scan of
+    the term-stats table, df-capped) → block-max OR retrieval."""
+    import tempfile
+
+    from docinsight_spark.index.builder import IndexBuilder
+    from docinsight_spark.index.wand import dictionary_search
+
+    docs = _docs(spark, sf_dir).select(
+        F.lit("sf/docs").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id")).alias("path"),
+        F.lit("0000").alias("commit"),
+        F.lit("en").alias("lang"),
+        F.col("text").alias("content"),
+    )
+    idx = tempfile.mkdtemp(prefix="contract_regex_")
+    b = IndexBuilder(spark, idx, n_buckets=8, code_aware=False)
+    b.build(docs)
+    res = dictionary_search(
+        spark, idx, REGEX_QUERIES, k=_PREFIX_OVERFETCH,
+        max_expansions=_PREFIX_MAX_EXP, mode="regex",
+    )
+    dim = b.docs_dim().select(
+        "docID", F.expr("CAST(substr(path, 5) AS LONG)").alias("doc_id")
+    )
+    scored = res.join(dim, "docID").select(
+        "query_id", "doc_id", F.round("score", 4).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_K)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Text → embedding featurizer under the oracle gate (round 3).  The
 # production featurizer (operators/embedder.featurize_text) is a
 # shuffle-free crc32 mapInPandas kernel; this entry runs the same

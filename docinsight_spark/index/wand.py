@@ -444,11 +444,22 @@ class Searcher:
                max_expansions: int = 16) -> DataFrame:
         """Wildcard top-k in server mode; reuses the cached term_stats
         and segment frames; refresh-transparent like :meth:`search`."""
+        return self.dictionary(prefixes, k=k, max_expansions=max_expansions,
+                               mode="prefix")
+
+    def dictionary(self, patterns: list[tuple[int, str]], k: int = 10,
+                   max_expansions: int = 16,
+                   mode: str = "prefix") -> DataFrame:
+        """Dictionary-expansion top-k (prefix / contains / regex) in
+        server mode; reuses the cached term_stats and segment frames;
+        refresh-transparent like :meth:`search`.  The contains/regex
+        pre-filter runs on the CACHED dictionary frame, so repeated
+        pattern queries never re-read the term_stats parquet."""
         if self.auto_reload:
             self._maybe_reload()
-        return prefix_search(
-            self.spark, self.index_dir, prefixes, k=k,
-            max_expansions=max_expansions,
+        return dictionary_search(
+            self.spark, self.index_dir, patterns, k=k,
+            max_expansions=max_expansions, mode=mode,
             _meta=self.meta, _tstats=self.term_stats,
             _segments=self.segments,
         )
@@ -888,8 +899,88 @@ def _wave_local_topk(
 
 
 # ---------------------------------------------------------------------------
-# Prefix (wildcard `pre*`) retrieval: dictionary expansion → OR query
+# Dictionary-expansion retrieval (prefix `pre*`, substring `contains`,
+# `regex`): expand against the term dictionary → OR query
 # ---------------------------------------------------------------------------
+
+_DICT_MODES = ("prefix", "contains", "regex")
+
+
+def _dict_predicate(mode: str, col, pat):
+    """Per-mode term-dictionary match predicate (works for both the
+    pre-filter over literal patterns and the pairing join over a pattern
+    column)."""
+    if mode == "prefix":
+        return col.startswith(pat)
+    if mode == "contains":
+        return col.contains(pat)
+    # Column.rlike only takes a literal; the function form accepts a
+    # pattern COLUMN (needed for the per-query pairing join)
+    return F.rlike(col, pat if not isinstance(pat, str) else F.lit(pat))
+
+
+def expand_dictionary(
+    spark: SparkSession,
+    index_dir: str,
+    patterns: list[tuple[int, str]],
+    max_expansions: int = 16,
+    mode: str = "prefix",
+    _meta: dict | None = None,
+    _tstats: DataFrame | None = None,
+) -> DataFrame:
+    """(query_id, term, df) — each pattern expanded against the index's
+    term dictionary, capped to the ``max_expansions`` highest-df terms
+    (ties → term asc): the classic multi-term-query rewrite (Lucene's
+    MultiTermQuery rewrite; reference analog: substring corpus search in
+    ``/root/reference/docinsight_cli.py``'s search path).
+
+    Modes: ``prefix`` (``pre*`` wildcard), ``contains`` (substring
+    anywhere in the identifier), ``regex`` (Java regex, partial-match
+    semantics like Spark's ``rlike``).
+
+    Plan shape: the OR-of-patterns pre-filter runs on the term-sorted
+    term_stats parquet — for ``prefix`` it is a range predicate
+    (StringStartsWith pushdown prunes row groups) so the scan is bounded
+    by the matching vocab slice; ``contains``/``regex`` scan the
+    DICTIONARY (one tiny column-pruned table, O(vocab) not O(corpus) —
+    the Zoekt/Lucene wildcard trade-off).  The per-pattern theta-join
+    runs on the SURVIVORS only (broadcast of the tiny pattern table).
+    Terms whose delete-corrected df reached 0 are excluded."""
+    if mode not in _DICT_MODES:
+        raise ValueError(f"mode must be one of {_DICT_MODES}, got {mode!r}")
+    meta = _meta or _load_meta(index_dir)
+    # regex patterns are NOT lowercased: `\S` != `\s`.  Terms are
+    # lowercase, so case-sensitive literals simply match nothing —
+    # same contract as grep over a lowercased corpus.
+    pats = [
+        (int(q), (p or "") if mode == "regex" else (p or "").lower())
+        for q, p in patterns
+    ]
+    pats = [(q, p) for q, p in pats if p]
+    if not pats:
+        return spark.createDataFrame([], "query_id long, term string, df long")
+    ts = _tstats if _tstats is not None else load_term_stats(
+        spark, index_dir, meta
+    )
+    cond = None
+    for p in sorted({p for _, p in pats}):
+        c = _dict_predicate(mode, F.col("term"), p)
+        cond = c if cond is None else (cond | c)
+    pdf = spark.createDataFrame(pats, "query_id long, pattern string")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("df").desc(), F.col("term")
+    )
+    return (
+        ts.filter(cond)
+        .filter(F.col("df") > 0)
+        .join(
+            F.broadcast(pdf),
+            _dict_predicate(mode, F.col("term"), F.col("pattern")),
+        )
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= max_expansions)
+        .select("query_id", "term", "df")
+    )
 
 
 def expand_prefix(
@@ -900,41 +991,47 @@ def expand_prefix(
     _meta: dict | None = None,
     _tstats: DataFrame | None = None,
 ) -> DataFrame:
-    """(query_id, term, df) — each prefix expanded against the index's
-    term dictionary, capped to the ``max_expansions`` highest-df terms
-    (ties → term asc): the classic wildcard-query rewrite (Lucene's
-    MultiTermQuery rewrite; reference analog: substring corpus search in
-    ``/root/reference/docinsight_cli.py``'s search path).
+    """Prefix-mode :func:`expand_dictionary` (kept as the stable name
+    for the `pre*` wildcard rewrite)."""
+    return expand_dictionary(
+        spark, index_dir, prefixes, max_expansions, mode="prefix",
+        _meta=_meta, _tstats=_tstats,
+    )
 
-    Plan shape: the OR-of-prefixes filter is a range predicate on the
-    term-sorted term_stats parquet (StringStartsWith pushdown prunes row
-    groups), so the dictionary scan is bounded by the matching vocab
-    slice, never the vocabulary; the per-prefix theta-join runs on the
-    SURVIVORS only (broadcast of the tiny prefix table).  Terms whose
-    delete-corrected df reached 0 are excluded."""
+
+def dictionary_search(
+    spark: SparkSession,
+    index_dir: str,
+    patterns: list[tuple[int, str]],
+    k: int = 10,
+    max_expansions: int = 16,
+    mode: str = "prefix",
+    _meta: dict | None = None,
+    _tstats: DataFrame | None = None,
+    _segments: DataFrame | None = None,
+) -> DataFrame:
+    """(query_id, rank, docID, score) — top-k BM25 over each pattern's
+    expansion set (score = Σ per-term BM25 over the expanded terms, each
+    with its own df), via the block-max fast path.  ``mode`` is any
+    :func:`expand_dictionary` mode: prefix / contains / regex.
+
+    The expansion is collected driver-side — bounded by
+    ``len(patterns) × max_expansions`` rows by construction — and fed to
+    :func:`wand_search` as a prebuilt term map (no re-tokenization)."""
     meta = _meta or _load_meta(index_dir)
-    pref = [(int(q), (p or "").lower()) for q, p in prefixes]
-    pref = [(q, p) for q, p in pref if p]
-    if not pref:
-        return spark.createDataFrame([], "query_id long, term string, df long")
-    ts = _tstats if _tstats is not None else load_term_stats(
+    tstats = _tstats if _tstats is not None else load_term_stats(
         spark, index_dir, meta
     )
-    cond = None
-    for p in sorted({p for _, p in pref}):
-        c = F.col("term").startswith(p)
-        cond = c if cond is None else (cond | c)
-    pdf = spark.createDataFrame(pref, "query_id long, prefix string")
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("df").desc(), F.col("term")
-    )
-    return (
-        ts.filter(cond)
-        .filter(F.col("df") > 0)
-        .join(F.broadcast(pdf), F.col("term").startswith(F.col("prefix")))
-        .withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= max_expansions)
-        .select("query_id", "term", "df")
+    exp = expand_dictionary(
+        spark, index_dir, patterns, max_expansions, mode=mode,
+        _meta=meta, _tstats=tstats,
+    ).collect()
+    qmap: dict[int, list[str]] = {int(q): [] for q, _ in patterns}
+    for r in exp:
+        qmap[int(r["query_id"])].append(r["term"])
+    return wand_search(
+        spark, index_dir, None, k=k, _meta=meta, _tstats=tstats,
+        _segments=_segments, _qmap=qmap,
     )
 
 
@@ -948,25 +1045,9 @@ def prefix_search(
     _tstats: DataFrame | None = None,
     _segments: DataFrame | None = None,
 ) -> DataFrame:
-    """(query_id, rank, docID, score) — top-k BM25 over each prefix's
-    expansion set (score = Σ per-term BM25 over the expanded terms, each
-    with its own df), via the block-max fast path.
-
-    The expansion is collected driver-side — bounded by
-    ``len(prefixes) × max_expansions`` rows by construction — and fed to
-    :func:`wand_search` as a prebuilt term map (no re-tokenization)."""
-    meta = _meta or _load_meta(index_dir)
-    tstats = _tstats if _tstats is not None else load_term_stats(
-        spark, index_dir, meta
-    )
-    exp = expand_prefix(
-        spark, index_dir, prefixes, max_expansions,
-        _meta=meta, _tstats=tstats,
-    ).collect()
-    qmap: dict[int, list[str]] = {int(q): [] for q, _ in prefixes}
-    for r in exp:
-        qmap[int(r["query_id"])].append(r["term"])
-    return wand_search(
-        spark, index_dir, None, k=k, _meta=meta, _tstats=tstats,
-        _segments=_segments, _qmap=qmap,
+    """Prefix-mode :func:`dictionary_search` (stable name for the
+    `pre*` wildcard query)."""
+    return dictionary_search(
+        spark, index_dir, prefixes, k=k, max_expansions=max_expansions,
+        mode="prefix", _meta=_meta, _tstats=_tstats, _segments=_segments,
     )

@@ -337,3 +337,141 @@ def test_neg_terms_boolean_not(spark, px_setup):
     assert len(merged) == len(strict)
     assert len(strict) > 0
     assert (merged["score_s"] - merged["score_l"]).abs().max() < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# contains / regex dictionary-expansion modes (round 6)
+# ---------------------------------------------------------------------------
+
+
+def _pandas_dict_expansion(toks: pd.Series, pat: str, m: int,
+                           mode: str) -> list[str]:
+    import re as _re
+
+    if mode == "prefix":
+        match = lambda t: t.startswith(pat)  # noqa: E731
+    elif mode == "contains":
+        match = lambda t: pat in t  # noqa: E731
+    else:
+        rx = _re.compile(pat)
+        match = lambda t: rx.search(t) is not None  # noqa: E731
+    df: dict[str, int] = {}
+    for ts in toks:
+        for t in set(ts):
+            if match(t):
+                df[t] = df.get(t, 0) + 1
+    ranked = sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))
+    return [t for t, _ in ranked[:m]]
+
+
+def test_contains_expansion_cap_and_order(spark, px_setup):
+    from docinsight_spark.index.wand import expand_dictionary
+
+    for sub, m in [("et", 4), ("a", 3), ("ue", 8)]:
+        got = [
+            r["term"]
+            for r in expand_dictionary(
+                spark, px_setup["idx"], [(0, sub)], max_expansions=m,
+                mode="contains",
+            )
+            .orderBy(F.col("df").desc(), "term")
+            .collect()
+        ]
+        want = _pandas_dict_expansion(px_setup["toks"], sub, m, "contains")
+        assert got == want, (sub, got, want)
+
+
+def test_regex_expansion_cap_and_order(spark, px_setup):
+    from docinsight_spark.index.wand import expand_dictionary
+
+    for pat, m in [("^v.*e$", 4), ("[0-9]", 6), ("a.e", 3)]:
+        got = [
+            r["term"]
+            for r in expand_dictionary(
+                spark, px_setup["idx"], [(0, pat)], max_expansions=m,
+                mode="regex",
+            )
+            .orderBy(F.col("df").desc(), "term")
+            .collect()
+        ]
+        want = _pandas_dict_expansion(px_setup["toks"], pat, m, "regex")
+        assert got == want, (pat, got, want)
+
+
+def test_contains_scores_match_prefix_machinery(spark, px_setup):
+    """contains-mode search over a substring that happens to be a
+    prefix must equal prefix-mode search: same expansion, same scores
+    — pins that mode only changes the dictionary predicate."""
+    from docinsight_spark.index.wand import dictionary_search
+
+    toks = px_setup["toks"]
+    # a substring that only occurs term-initially in this vocab
+    vocab = {t for ts in toks for t in ts}
+    pat = next(
+        (
+            p for p in ("wh", "qu", "st", "tr")
+            if any(t.startswith(p) for t in vocab)
+            and all(p not in t[1:] for t in vocab)
+        ),
+        None,
+    )
+    if pat is None:
+        pytest.skip("no term-initial-only substring in this vocab")
+    a = dictionary_search(
+        spark, px_setup["idx"], [(0, pat)], k=50, max_expansions=4,
+        mode="contains",
+    )
+    b = prefix_search(
+        spark, px_setup["idx"], [(0, pat)], k=50, max_expansions=4
+    )
+    _assert_same(_res(a), _res(b))
+
+
+def test_regex_case_sensitive_not_lowercased(spark, px_setup):
+    """Regex patterns must NOT be lowercased (\\S != \\s): an upper-case
+    literal class matches nothing against the lowercase vocabulary."""
+    from docinsight_spark.index.wand import dictionary_search, expand_dictionary
+
+    assert (
+        expand_dictionary(
+            spark, px_setup["idx"], [(0, "^[A-Z]+$")], max_expansions=8,
+            mode="regex",
+        ).count()
+        == 0
+    )
+    assert (
+        dictionary_search(
+            spark, px_setup["idx"], [(0, "^[A-Z]+$")], k=5, mode="regex"
+        ).count()
+        == 0
+    )
+
+
+def test_dictionary_mode_validation(spark, px_setup):
+    from docinsight_spark.index.wand import expand_dictionary
+
+    with pytest.raises(ValueError, match="mode"):
+        expand_dictionary(
+            spark, px_setup["idx"], [(0, "x")], mode="glob"
+        ).count()
+
+
+def test_searcher_dictionary_modes(spark, px_setup):
+    from docinsight_spark.index.wand import Searcher
+
+    s = Searcher(spark, px_setup["idx"], cache=False)
+    got = _res(s.dictionary([(0, "a.e")], k=10, max_expansions=4,
+                            mode="regex"))
+    from docinsight_spark.index.wand import dictionary_search
+
+    want = _res(dictionary_search(
+        spark, px_setup["idx"], [(0, "a.e")], k=10, max_expansions=4,
+        mode="regex",
+    ))
+    _assert_same(got, want)
+    # prefix() still routes through the same machinery
+    _assert_same(
+        _res(s.prefix([(0, "s")], k=10, max_expansions=4)),
+        _res(prefix_search(spark, px_setup["idx"], [(0, "s")], k=10,
+                           max_expansions=4)),
+    )
