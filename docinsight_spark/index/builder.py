@@ -178,6 +178,22 @@ def read_manifests(index_dir: str) -> list[dict]:
 FOOTER_DRIVER_MAX = 4096
 
 
+def merge_max_width() -> int:
+    """Upper bound on how many run/merge outputs one merge job consumes.
+
+    Every merge wave is a FULL rewrite of all bytes that pass through
+    it, so the minimum-wave plan is the cheapest plan; hierarchical
+    waves exist only to bound per-job input width (plan size, file
+    listing, scheduler state) — a Spark shuffle handles dozens of
+    input dirs in one job just fine.  ``fanin`` therefore acts as a
+    LOWER bound on group width and this cap as the upper bound; the
+    planner widens groups up to it so that e.g. 4 runs merge in ONE
+    wave (one shuffle+sort+write) instead of two full rewrites at
+    fanin=2.  Parameterised for clusters whose driver can plan wider
+    unions (raise) or whose run dirs are huge in count (lower)."""
+    return int(os.environ.get("DOCINSIGHT_MERGE_MAX_WIDTH", "32"))
+
+
 def _footer_counts_distributed(spark: SparkSession, files: list[str]) -> list[int]:
     """Per-file parquet footer row counts as a Spark job (executor-side
     pyarrow reads, ~256 files per task); order matches ``files``."""
@@ -754,7 +770,7 @@ class IndexBuilder:
         self._check_run_compat()
         docs = with_doc_id(corpus)
         if dedup_within_run:
-            docs = docs.dropDuplicates(["docID"])
+            docs = self._dedup_by_doc_id(docs)
         priors = [m for m in self.manifests() if m["unit"].startswith("run-")]
         if priors:
             seen = self._read_plain(
@@ -960,6 +976,32 @@ class IndexBuilder:
         )
         return definite_new.unionByName(survivors)
 
+    def _dedup_by_doc_id(self, docs: DataFrame) -> DataFrame:
+        """docID dedup that shuffles KEYS, not content (guide-§8 shape:
+        decide on small rows, never move the heavy bytes).
+
+        ``dropDuplicates(["docID"])`` hash-shuffles every row — document
+        CONTENT included, the most expensive bytes of the ingest — even
+        when no duplicate exists.  Instead: find duplicated docIDs from
+        a column-pruned aggregation (docID is xxhash64(repo,path,commit),
+        so the scan never touches ``content``; map-side partial agg
+        keeps the shuffle to 8-byte keys), broadcast that tiny set, and
+        only rows of duplicated docIDs pay a content shuffle.  In the
+        common all-unique case the whole input passes through a
+        broadcast anti-join with ZERO content shuffled.  Contract
+        unchanged: one arbitrary surviving copy per docID."""
+        dups = (
+            docs.groupBy("docID")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+            .select("docID")
+        )
+        clean = docs.join(F.broadcast(dups), "docID", "left_anti")
+        picked = docs.join(F.broadcast(dups), "docID", "left_semi").dropDuplicates(
+            ["docID"]
+        )
+        return clean.unionByName(picked)
+
     def _postings_codec(self) -> str:
         """Parquet codec for run/merged postings.  Plain builds: snappy
         (write-once-read-once intermediates; encode CPU dominated).
@@ -1068,8 +1110,15 @@ class IndexBuilder:
         it covers and reuse compares THAT."""
         covers: dict[str, list[str]] = {s: [s] for s in sources}
         wave = 0
+        # Wave plan (round 7): every wave rewrites all bytes, so use the
+        # widest group one merge job can safely consume — ``fanin`` is
+        # the caller's floor, ``merge_max_width()`` the planner's cap.
+        # 4 runs at fanin=2 now merge in ONE wave (one shuffle+sort+
+        # write) instead of two full rewrites; at 10^4 runs waves still
+        # tier, just ``width``-ary instead of ``fanin``-ary.
+        width = max(int(fanin), min(max(len(sources), 1), merge_max_width()))
         while len(sources) > 1 or sources[0].startswith(f"{self.dir}/runs/"):
-            groups = [sources[i : i + fanin] for i in range(0, len(sources), fanin)]
+            groups = [sources[i : i + width] for i in range(0, len(sources), width)]
             nxt = []
             for gi, grp in enumerate(groups):
                 out = f"{out_root}/wave{wave}/g{gi}"
@@ -1134,32 +1183,47 @@ class IndexBuilder:
         enough to keep file counts bounded per partition dir.
         N / avgdl / Σdl ride along as observed metrics of the SAME write
         job (no read-back aggregation job)."""
+        from concurrent.futures import ThreadPoolExecutor
+
         from pyspark.sql import Observation
 
         obs = Observation("corpus_stats")
-        (
-            postings.groupBy("doc_bucket", "docID")
-            .agg(F.sum("tf").alias("dl"))
-            .observe(
-                obs,
-                F.count(F.lit(1)).alias("n"),
-                F.avg("dl").alias("avgdl"),
-                F.sum("dl").alias("sum_dl"),
-            )
-            .repartition(self.n_buckets, "doc_bucket")
-            .write.mode("overwrite")
-            .partitionBy("doc_bucket")
-            .parquet(f"{out_root}/doc_stats")
-        )
 
-        # Global stats: salted df aggregation (hot-term skew defused).
-        # Sorted within partitions by term (no extra shuffle — the agg
-        # output is already hash-partitioned on term) so query-time df
-        # lookups prune parquet row groups via min/max stats.
-        ts = term_stats(postings.select("term", "docID", "tf"))
-        ts.sortWithinPartitions("term").write.mode("overwrite").parquet(
-            f"{out_root}/term_stats"
-        )
+        def _write_doc_stats():
+            (
+                postings.groupBy("doc_bucket", "docID")
+                .agg(F.sum("tf").alias("dl"))
+                .observe(
+                    obs,
+                    F.count(F.lit(1)).alias("n"),
+                    F.avg("dl").alias("avgdl"),
+                    F.sum("dl").alias("sum_dl"),
+                )
+                .repartition(self.n_buckets, "doc_bucket")
+                .write.mode("overwrite")
+                .partitionBy("doc_bucket")
+                .parquet(f"{out_root}/doc_stats")
+            )
+
+        def _write_term_stats():
+            # Global stats: salted df aggregation (hot-term skew defused).
+            # Sorted within partitions by term (no extra shuffle — the agg
+            # output is already hash-partitioned on term) so query-time df
+            # lookups prune parquet row groups via min/max stats.
+            ts = term_stats(postings.select("term", "docID", "tf"))
+            ts.sortWithinPartitions("term").write.mode("overwrite").parquet(
+                f"{out_root}/term_stats"
+            )
+
+        # The two stats jobs are independent reads of the same merged
+        # postings (different column subsets) — run them CONCURRENTLY so
+        # the second job's tasks back-fill the first's straggler tail
+        # (guide §2.6); actions were only sequential because this code
+        # called them sequentially.
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            ts_future = pool.submit(_write_term_stats)
+            _write_doc_stats()
+            ts_future.result()
         stats_row = obs.get
         n_docs, avgdl = int(stats_row["n"]), float(stats_row["avgdl"] or 0.0)
         sum_dl = int(stats_row["sum_dl"] or 0)
@@ -1449,15 +1513,131 @@ class IndexBuilder:
         dedup_within_run: bool = True,
     ) -> None:
         """Full build. ``n_runs > 1`` splits the corpus to exercise the
-        merge-wave machinery (and models incremental ingest batches)."""
+        merge-wave machinery (and models incremental ingest batches).
+
+        On a FRESH index the multi-run split runs as a single-pass fused
+        ingest (:meth:`_ingest_runs`): all runs' postings in one tokenize
+        job and all docs tables in one job, instead of 2·k jobs and 2·k
+        corpus content scans.  With prior runs present (resume, append)
+        the per-slice path with its cross-run gate applies unchanged."""
         if n_runs == 1:
             self.add_run(corpus, "run00000", dedup_within_run)
-        else:
+        elif not self._ingest_runs(corpus, n_runs, dedup_within_run):
             slices = corpus.randomSplit([1.0] * n_runs, seed=42)
             for i, sl in enumerate(slices):
                 self.add_run(sl, f"run{i:05d}", dedup_within_run)
         self.merge_all(fanin=fanin)
         self.finalize()
+
+    @_leased
+    def _ingest_runs(
+        self, corpus: DataFrame, n_runs: int, dedup_within_run: bool = True
+    ) -> bool:
+        """Single-pass fused multi-run ingest for a FRESH index (round 7).
+
+        The per-slice path costs 2 jobs and 2 full corpus content scans
+        PER RUN, plus a cross-run anti-join gate per slice that is pure
+        overhead when the index is empty and slices are disjoint by
+        construction.  Here ALL runs' postings are written in ONE
+        tokenize job and all docs tables in ONE job — partitioned writes
+        on a deterministic run key (``pmod(xxhash64(docID), k)``, unlike
+        randomSplit's positional rand it is derivable on both sides of
+        the tokenize kernel), whose partition dirs then move into the
+        canonical ``runs/<id>/`` layout.  Content scans drop 2·k → 2 and
+        Spark jobs 2·k → 3 (plus one tiny columnar lang-count job).  Run
+        slicing differs from the randomSplit path, but the merged index
+        content is identical: same doc set, postings and stats.  The
+        global docID dedup here equals the old within-run dedup +
+        cross-run gate composition for a fresh index (both keep one
+        arbitrary copy per docID).
+
+        Returns False (caller falls back to per-slice add_run) when any
+        run has already been ingested — resume of a partially fused
+        ingest included: un-manifested moved dirs are simply overwritten
+        by the fallback's own writes, and merge reads only manifested
+        runs."""
+        if any(m["unit"].startswith("run-") for m in self.manifests()):
+            return False
+        self._check_meta_compat()
+        docs = with_doc_id(corpus)
+        if dedup_within_run:
+            docs = self._dedup_by_doc_id(docs)
+        run_ids = [f"run{i:05d}" for i in range(n_runs)]
+        run_col = F.pmod(F.xxhash64("docID"), F.lit(n_runs)).cast("int")
+        tmp = f"{self.dir}/_ingest_tmp"
+        fsio.rmtree(tmp)
+        postings = self._sharded(
+            build_postings(
+                docs, code_aware=self.code_aware, with_positions=self.positions
+            )
+        )
+        (
+            postings.withColumn("_run", run_col)
+            .write.mode("overwrite")
+            .option("compression", self._postings_codec())
+            .partitionBy("_run")
+            .parquet(f"{tmp}/postings")
+        )
+        (
+            docs.select(
+                "docID", "repo", "path", "commit", "lang", "content_sha"
+            )
+            .withColumn("_run", run_col)
+            .write.mode("overwrite")
+            .partitionBy("_run")
+            .parquet(f"{tmp}/docs")
+        )
+        # per-run language mix (majority-vote input for the query-side
+        # tokenizer): one tiny columnar scan of the just-written docs —
+        # the fused write cannot carry per-run observed metrics
+        lang_rows = (
+            self.spark.read.parquet(f"{tmp}/docs")
+            .groupBy("_run", F.lower("lang").alias("_lg"))
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .collect()
+        )
+        from docinsight_spark.functions.tokenizer import _MASKS
+
+        langs_per_run: dict[int, dict[str, int]] = {}
+        for r in lang_rows:
+            if r["_lg"] in _MASKS:
+                langs_per_run.setdefault(int(r["_run"]), {})[r["_lg"]] = int(
+                    r["_n"]
+                )
+        empty_posts_schema = (
+            "term string, docID long, tf long"
+            + (", positions array<int>" if self.positions else "")
+            + ", doc_bucket int, doc_sub int"
+        )
+        empty_docs_schema = (
+            "docID long, repo string, path string, commit string, "
+            "lang string, content_sha string"
+        )
+        for i, rid in enumerate(run_ids):
+            base = f"{self.dir}/runs/{rid}"
+            fsio.rmtree(base)
+            for sub, schema in (
+                ("postings", empty_posts_schema),
+                ("docs", empty_docs_schema),
+            ):
+                src = f"{tmp}/{sub}/_run={i}"
+                if fsio.exists(src):
+                    fsio.move(src, f"{base}/{sub}")
+                else:
+                    # a run key with no rows (tiny corpora): materialise
+                    # an empty-but-readable dataset so merge/gate scans
+                    # never trip on a missing path
+                    self.spark.createDataFrame([], schema).repartition(
+                        1
+                    ).write.mode("overwrite").parquet(f"{base}/{sub}")
+            n_postings, _ = _footer_rows(f"{base}/postings", spark=self.spark)
+            n_docs, _ = _footer_rows(f"{base}/docs", spark=self.spark)
+            self._commit(
+                f"run-{rid}", run_id=rid, postings=n_postings, docs=n_docs,
+                langs=langs_per_run.get(i, {}), settings=self._settings(),
+            )
+        fsio.rmtree(tmp)
+        return True
 
     def meta(self) -> dict:
         return fsio.read_json(f"{self.dir}/_meta.json")
@@ -1583,41 +1763,54 @@ class IndexBuilder:
             if n_vic == 0:
                 return None
             sum_vic = sum(v["sum_dl"] for v in per_root.values())
-            (
-                vic.repartition("root")
-                .sortWithinPartitions("doc_bucket", "docID")
-                .write.mode("overwrite")
-                .partitionBy("root", "doc_bucket")
-                .parquet(f"{troot}/docs")
-            )
+
+            def _write_tombstone_docs():
+                (
+                    vic.repartition("root")
+                    .sortWithinPartitions("doc_bucket", "docID")
+                    .write.mode("overwrite")
+                    .partitionBy("root", "doc_bucket")
+                    .parquet(f"{troot}/docs")
+                )
+
+            def _write_df_corrections():
+                # per-(root, term) df corrections from one pass over the
+                # merged postings; the victim side is the PERSISTED frame
+                # (already materialized by the accounting collect — no
+                # read-back of the docs write, no recompute), broadcast
+                # when small (the common delete), else AQE's choice
+                vic_keys = vic.select("docID", "root")
+                if n_vic <= self.broadcast_seen_max:
+                    vic_keys = F.broadcast(vic_keys)
+                posts = _union_frames([
+                    self.spark.read.parquet(src)
+                    .select("term", "docID")
+                    .withColumn("root", F.lit(rid))
+                    for rid, _rdir, src in roots
+                    if src is not None
+                ])
+                (
+                    posts.join(vic_keys, ["docID", "root"])
+                    .groupBy("root", "term")
+                    .agg(F.count(F.lit(1)).alias("df_neg"))
+                    .repartition("root")
+                    .sortWithinPartitions("term")
+                    .write.mode("overwrite")
+                    .partitionBy("root")
+                    .parquet(f"{troot}/term_stats_neg")
+                )
+
+            # the two writes are independent jobs over the cached victim
+            # frame — overlap them (guide §2.6); both must land before
+            # the meta commit flips readers to the new tombstone set
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=1) as pool:
+                docs_future = pool.submit(_write_tombstone_docs)
+                _write_df_corrections()
+                docs_future.result()
         finally:
             vic.unpersist()
-
-        # per-(root, term) df corrections from one pass over the merged
-        # postings; the victim side broadcasts when small (the common
-        # delete), else the join falls back to AQE's choice
-        vic_keys = self.spark.read.parquet(f"{troot}/docs").select(
-            "docID", "root"
-        )
-        if n_vic <= self.broadcast_seen_max:
-            vic_keys = F.broadcast(vic_keys)
-        posts = _union_frames([
-            self.spark.read.parquet(src)
-            .select("term", "docID")
-            .withColumn("root", F.lit(rid))
-            for rid, _rdir, src in roots
-            if src is not None
-        ])
-        (
-            posts.join(vic_keys, ["docID", "root"])
-            .groupBy("root", "term")
-            .agg(F.count(F.lit(1)).alias("df_neg"))
-            .repartition("root")
-            .sortWithinPartitions("term")
-            .write.mode("overwrite")
-            .partitionBy("root")
-            .parquet(f"{troot}/term_stats_neg")
-        )
 
         # commit point: meta flips readers to the corrected stats +
         # tombstone list atomically; the manifest is lineage

@@ -308,6 +308,88 @@ def _positional_search(
     )
 
 
+def _near_anchor_tf(pos_objs, starts, n_req, rows_per_g, lens, near_w: int):
+    """Batch-wide NEAR(w) anchor counting (round 7).
+
+    The round-6 kernel looped per candidate group in Python (a pair of
+    searchsorted calls per non-anchor row) — bounded, but O(groups)
+    interpreter overhead at high-df candidate counts.  Here anchors of
+    ALL complete groups are tested with ONE composite-key searchsorted
+    pass per OFFSET SLOT (slot j = the j-th non-anchor row of each
+    group; phrase length bounds the slot count at a handful) — the same
+    batch-wide treatment the phrase branch already had.
+
+    Inputs are the per-batch group layout of the kernel: ``pos_objs``
+    (object array of ascending position arrays per row), ``starts``
+    (group start row indices), ``n_req`` (offsets per query, per
+    group), ``rows_per_g``, ``lens`` (per-row position counts).
+    Returns ``tf_g`` — per group, the number of first-term anchors
+    with every other term within ±``near_w``."""
+    import numpy as np
+
+    n_groups = len(starts)
+    tf_g = np.zeros(n_groups, dtype=np.int64)
+    ok_g = rows_per_g >= n_req  # incomplete copy lacks a term
+    sel_g = np.flatnonzero(ok_g)
+    if not len(sel_g):
+        return tf_g
+    a_arrays = [
+        np.asarray(pos_objs[s], dtype=np.int64) for s in starts[sel_g]
+    ]
+    a_lens = np.fromiter((len(a) for a in a_arrays), np.int64, len(sel_g))
+    a_flat = (
+        np.concatenate(a_arrays) if len(a_arrays) else np.empty(0, np.int64)
+    )
+    # global anchor → compact group rank (0..len(sel_g)-1)
+    a_grank = np.repeat(np.arange(len(sel_g), dtype=np.int64), a_lens)
+    anchor_ok = np.ones(len(a_flat), dtype=bool)
+    max_pos = int(a_flat.max()) if len(a_flat) else 0
+    n_slots = int(n_req[sel_g].max())
+    slot_rows = [
+        (starts[sel_g] + j, n_req[sel_g] > j) for j in range(1, n_slots)
+    ]
+    # span must exceed every composite key this batch can produce
+    for rows_j, has_j in slot_rows:
+        rows_sel = rows_j[has_j]
+        if len(rows_sel):
+            max_pos = max(
+                max_pos,
+                int(max(pos_objs[r][-1] for r in rows_sel
+                        if len(pos_objs[r]))),
+            )
+    span = np.int64(max_pos + 2 * near_w + 2)
+    for rows_j, has_j in slot_rows:
+        # groups owning a j-th non-anchor row this slot
+        loc = np.full(len(sel_g), -1, dtype=np.int64)
+        loc[np.flatnonzero(has_j)] = np.arange(
+            int(has_j.sum()), dtype=np.int64
+        )
+        rows_sel = rows_j[has_j]
+        if not len(rows_sel):
+            continue
+        q_lens = lens[rows_sel]
+        q_flat = (
+            np.concatenate(
+                [np.asarray(pos_objs[r], np.int64) for r in rows_sel]
+            )
+            if q_lens.sum()
+            else np.empty(0, np.int64)
+        )
+        # composite keys: positions ascend within each row, row ranks
+        # ascend across rows → globally sorted, one searchsorted pass
+        q_rank = np.repeat(np.arange(len(rows_sel), dtype=np.int64), q_lens)
+        qkey = q_rank * span + q_flat + near_w + 1
+        sel_a = loc[a_grank] >= 0
+        base = loc[a_grank[sel_a]] * span + a_flat[sel_a] + near_w + 1
+        lo = np.searchsorted(qkey, base - near_w, side="left")
+        hi = np.searchsorted(qkey, base + near_w, side="right")
+        anchor_ok[sel_a] &= hi > lo
+    tf_g[sel_g] = np.bincount(
+        a_grank, weights=anchor_ok, minlength=len(sel_g)
+    ).astype(np.int64)
+    return tf_g
+
+
 def _score_phrase_hits(
     spark, index_dir, meta, roots, scan, offs, noff, cand, buckets, k,
     mode: str = "phrase", window: int = 0,
@@ -380,19 +462,9 @@ def _score_phrase_hits(
         pos_objs = pdf["positions"].to_numpy()
         lens = np.fromiter((len(p) for p in pos_objs), np.int64, len(pdf))
         if is_near:
-            tf_g = np.zeros(n_groups, dtype=np.int64)
-            for g in range(n_groups):
-                s, e = starts[g], ends[g]
-                if rows_per_g[g] < n_req[g]:
-                    continue  # live copy lacks a term (changed content)
-                anchors = np.asarray(pos_objs[s], dtype=np.int64)
-                ok = np.ones(len(anchors), dtype=bool)
-                for i in range(s + 1, e):
-                    q = np.asarray(pos_objs[i], dtype=np.int64)
-                    lo = np.searchsorted(q, anchors - near_w, side="left")
-                    hi = np.searchsorted(q, anchors + near_w, side="right")
-                    ok &= hi > lo
-                tf_g[g] = int(ok.sum())
+            tf_g = _near_anchor_tf(
+                pos_objs, starts, n_req, rows_per_g, lens, near_w
+            )
         else:
             flat = (
                 np.concatenate([np.asarray(p, np.int64) for p in pos_objs])

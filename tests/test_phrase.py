@@ -578,3 +578,59 @@ def test_searcher_phrase_prefix_refresh_transparent(spark, tmp_path):
         for r in s.prefix([(0, pfx)], k=20).collect()
     }
     assert vp == dp and dp
+
+
+def test_near_anchor_tf_matches_per_group_reference():
+    """Kernel-parity for the batch-wide NEAR counting (round 7): the
+    composite-key slot passes must reproduce the straightforward
+    per-group searchsorted loop on randomized group layouts — varied
+    phrase lengths (incl. single-term), incomplete groups, duplicate
+    and boundary positions."""
+    import numpy as np
+
+    from docinsight_spark.index.phrase import _near_anchor_tf
+
+    rng = np.random.RandomState(1234)
+    for trial in range(20):
+        w = int(rng.randint(1, 9))
+        n_groups = int(rng.randint(1, 60))
+        rows, n_req_g, complete = [], [], []
+        for _g in range(n_groups):
+            k = int(rng.randint(1, 6))          # offsets per query
+            n_req_g.append(k)
+            miss = rng.rand() < 0.2 and k > 1   # incomplete copy
+            n_rows = k - 1 if miss else k
+            complete.append(not miss)
+            for _r in range(n_rows):
+                n_pos = int(rng.randint(1, 12))
+                rows.append(np.sort(rng.randint(0, 300, size=n_pos)).astype(np.int64))
+        pos_objs = np.empty(len(rows), dtype=object)
+        for i, r in enumerate(rows):
+            pos_objs[i] = r
+        lens = np.fromiter((len(p) for p in pos_objs), np.int64, len(pos_objs))
+        counts = [
+            (n_req_g[g] if complete[g] else n_req_g[g] - 1)
+            for g in range(n_groups)
+        ]
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1])).astype(np.int64)
+        rows_per_g = np.asarray(counts, dtype=np.int64)
+        n_req = np.asarray(n_req_g, dtype=np.int64)
+
+        got = _near_anchor_tf(pos_objs, starts, n_req, rows_per_g, lens, w)
+
+        # reference: the round-6 per-group loop
+        want = np.zeros(n_groups, dtype=np.int64)
+        for g in range(n_groups):
+            s = starts[g]
+            e = s + rows_per_g[g]
+            if rows_per_g[g] < n_req[g]:
+                continue
+            anchors = np.asarray(pos_objs[s], dtype=np.int64)
+            ok = np.ones(len(anchors), dtype=bool)
+            for i in range(s + 1, e):
+                q = np.asarray(pos_objs[i], dtype=np.int64)
+                lo = np.searchsorted(q, anchors - w, side="left")
+                hi = np.searchsorted(q, anchors + w, side="right")
+                ok &= hi > lo
+            want[g] = int(ok.sum())
+        assert (got == want).all(), (trial, got.tolist(), want.tolist())
