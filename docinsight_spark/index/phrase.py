@@ -163,14 +163,21 @@ def phrase_search(
     k: int = 10,
     code_aware: bool | None = None,
     _meta: dict | None = None,
+    _frames: dict[str, DataFrame] | None = None,
+    _ds_frames: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """(query_id, rank, docID, score) — exact phrase top-k.
 
     ``queries``: (query_id, query_text) rows; each text is one phrase.
-    Requires an index built with ``positions=True``."""
+    Requires an index built with ``positions=True``.
+
+    ``_frames`` / ``_ds_frames``: per-root pinned merged-postings /
+    doc_stats DataFrames (``Searcher`` server mode) — the per-call
+    parquet re-read disappears for warm repeat queries."""
     return _positional_search(
         spark, index_dir, queries, k=k, code_aware=code_aware,
         _meta=_meta, mode="phrase", window=0,
+        _frames=_frames, _ds_frames=_ds_frames,
     )
 
 
@@ -182,6 +189,8 @@ def proximity_search(
     window: int = 8,
     code_aware: bool | None = None,
     _meta: dict | None = None,
+    _frames: dict[str, DataFrame] | None = None,
+    _ds_frames: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """(query_id, rank, docID, score) — NEAR(w) proximity top-k.
 
@@ -199,6 +208,7 @@ def proximity_search(
     return _positional_search(
         spark, index_dir, queries, k=k, code_aware=code_aware,
         _meta=_meta, mode="near", window=int(window),
+        _frames=_frames, _ds_frames=_ds_frames,
     )
 
 
@@ -211,6 +221,8 @@ def _positional_search(
     _meta: dict | None,
     mode: str,
     window: int,
+    _frames: dict[str, DataFrame] | None = None,
+    _ds_frames: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     meta = _meta or fsio.read_json(f"{index_dir}/_meta.json")
     if not meta.get("positions", False):
@@ -257,8 +269,16 @@ def _positional_search(
     roots = merged_roots(index_dir, meta)
 
     def scan(rid: str, src: str, cols: list[str]) -> DataFrame:
+        # server mode passes pinned per-root frames (Searcher cache) —
+        # the filter still prunes in-memory batches via their min/max
+        # stats; cold calls read parquet with row-group pruning
+        base = (
+            _frames[rid]
+            if _frames is not None and rid in _frames
+            else spark.read.parquet(src)
+        )
         return (
-            _restrict_terms(spark.read.parquet(src), all_terms)
+            _restrict_terms(base, all_terms)
             .select(*cols)
             .withColumn("_root", F.lit(rid))
         )
@@ -304,7 +324,7 @@ def _positional_search(
     return _score_phrase_hits(
         spark, index_dir, meta, roots, scan, offs, noff, cand,
         buckets if buckets is not None and len(buckets) < n_buckets else None,
-        k, mode, window,
+        k, mode, window, _ds_frames=_ds_frames,
     )
 
 
@@ -393,6 +413,7 @@ def _near_anchor_tf(pos_objs, starts, n_req, rows_per_g, lens, near_w: int):
 def _score_phrase_hits(
     spark, index_dir, meta, roots, scan, offs, noff, cand, buckets, k,
     mode: str = "phrase", window: int = 0,
+    _ds_frames: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """Candidate scoring in an Arrow-batched kernel: ONE shuffle of the
     candidates' (query, off, doc, positions) rows, sorted by
@@ -539,9 +560,13 @@ def _score_phrase_hits(
     # match (ptf's bucket is derivable in-plan — same pmod the build used)
     ds = _union_frames(
         [
-            spark.read.parquet(f"{rdir}/doc_stats")
-            .select("docID", "dl", "doc_bucket")
-            .withColumn("_root", F.lit(rid))
+            (
+                _ds_frames[rid]
+                if _ds_frames is not None and rid in _ds_frames
+                else spark.read.parquet(f"{rdir}/doc_stats")
+                .select("docID", "dl", "doc_bucket")
+                .withColumn("_root", F.lit(rid))
+            )
             for rid, rdir in stats_dirs
         ]
     )

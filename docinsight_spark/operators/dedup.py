@@ -38,21 +38,26 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def shingles(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
-    """(id, shingle) — distinct word n-gram shingles per doc."""
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(simple_tokens_col(text_col)).alias("pos", "term"),
-    )
-    w = Window.partitionBy("id").orderBy("pos")
-    gram = F.concat_ws(" ", *[
-        F.col("term") if i == 0 else F.lead("term", i).over(w) for i in range(n)
-    ])
-    last = F.lead("term", n - 1).over(w)
+    """(id, shingle) — distinct word n-gram shingles per doc.
+
+    Built IN-ROW with array higher-order functions (round 7): the
+    round-6 shape exploded tokens and ran ``lead()`` windows over
+    (id, pos), which shuffles and sorts every token of the corpus just
+    to pair each token with its neighbors — neighbors that already sit
+    next to it in the tokens array.  ``transform(sequence(...))`` over
+    the array produces the identical shingle set with ZERO shuffle
+    (guide §2.4: remove shuffles outright); the only remaining exchange
+    is the final ``distinct``, which any construction needs."""
+    toks = simple_tokens_col(text_col)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
-        toks.withColumn("_l", last)
-        .withColumn("shingle", gram)
-        .filter(F.col("_l").isNotNull())
-        .select("id", "shingle")
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
         .distinct()
     )
 
