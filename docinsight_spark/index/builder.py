@@ -178,6 +178,43 @@ def read_manifests(index_dir: str) -> list[dict]:
 FOOTER_DRIVER_MAX = 4096
 
 
+# probe ints x with pmod(hash(x), n) == s for every shard s — computed
+# once per process per shard count (one tiny Spark job over a constant
+# range), then reused by every merge wave.  Lets the merge assign each
+# shard its own partition EXACTLY via hash repartition on the probe
+# column: the balance of repartitionByRange with NONE of its per-wave
+# input sampling pass (the shard key domain is fully known — sampling
+# learns nothing).
+_SHARD_PROBE_CACHE: dict[int, dict[int, int]] = {}
+
+
+def _shard_probes(spark: SparkSession, n_shards: int) -> dict[int, int] | None:
+    """{shard -> probe int} such that ``pmod(hash(probe), n_shards) ==
+    shard`` under Spark's own Murmur3 (computed BY Spark, so it can
+    never drift from the engine's hash); ``None`` if a shard found no
+    probe in the search range (fall back to range partitioning)."""
+    got = _SHARD_PROBE_CACHE.get(n_shards)
+    if got is not None:
+        return got
+    import pyspark.sql.functions as f
+
+    rows = (
+        spark.range(0, max(n_shards * 64, 4096))
+        .select(
+            f.col("id").cast("int").alias("x"),
+            f.pmod(f.hash(f.col("id").cast("int")), f.lit(n_shards)).alias("s"),
+        )
+        .groupBy("s")
+        .agg(f.min("x").alias("x"))
+        .collect()
+    )
+    probes = {int(r["s"]): int(r["x"]) for r in rows}
+    if len(probes) != n_shards:
+        return None  # astronomically unlikely; range partitioning still works
+    _SHARD_PROBE_CACHE[n_shards] = probes
+    return probes
+
+
 def merge_max_width() -> int:
     """Upper bound on how many run/merge outputs one merge job consumes.
 
@@ -1148,11 +1185,30 @@ class IndexBuilder:
         row-group pruning rely on.  ``covers`` (the transitive leaf
         source set) rides in the manifest for crash-rerun validation."""
         postings = self._read_union([f"{s}/postings" for s in grp])
-        # range (not hash) keeps every shard its own task at guaranteed
-        # balance; the sampling pass re-reads only materialized parquet
-        # (A/B-measured equal to hash at 300k files — balance wins ties).
+        # Exact shard→partition assignment (round 7): hash-repartition on
+        # a per-shard PROBE int chosen so pmod(hash(probe), n) == shard —
+        # every shard whole in its own partition (the balance range
+        # partitioning gave) with NO per-wave input sampling pass (the
+        # key domain is fully known; sampling learned nothing).  Falls
+        # back to range partitioning only if probe search failed.
+        probes = _shard_probes(self.spark, self.n_shards)
+        if probes is not None:
+            probe_map = F.create_map(
+                *[F.lit(v) for s in range(self.n_shards)
+                  for v in (s, probes[s])]
+            )
+            shard = (
+                F.col("doc_bucket") * F.lit(self.n_subs) + F.col("doc_sub")
+            ).cast("int")
+            part = postings.repartition(
+                self.n_shards, F.element_at(probe_map, shard)
+            )
+        else:
+            part = postings.repartitionByRange(
+                self.n_shards, "doc_bucket", "doc_sub"
+            )
         (
-            postings.repartitionByRange(self.n_shards, "doc_bucket", "doc_sub")
+            part
             .sortWithinPartitions("doc_bucket", "doc_sub", "term", "docID")
             .write.mode("overwrite")
             # merge-wave outputs are intermediates too (read once by the

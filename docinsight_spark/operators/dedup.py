@@ -44,18 +44,25 @@ def shingles(
     round-6 shape exploded tokens and ran ``lead()`` windows over
     (id, pos), which shuffles and sorts every token of the corpus just
     to pair each token with its neighbors — neighbors that already sit
-    next to it in the tokens array.  ``transform(sequence(...))`` over
-    the array produces the identical shingle set with ZERO shuffle
-    (guide §2.4: remove shuffles outright); the only remaining exchange
-    is the final ``distinct``, which any construction needs."""
+    next to it in the tokens array.  A ``zip_with`` chain over n
+    shifted slices produces the identical shingle set with ZERO
+    shuffle (guide §2.4: remove shuffles outright); the only remaining
+    exchange is the final ``distinct``, which any construction needs.
+    (A ``transform(sequence(...), i -> slice(...))`` form was measured
+    3-4× SLOWER than the window it replaced — per-element interpreted
+    slice+concat_ws; the zip_with chain does n−1 cheap lambda evals
+    per shingle and beats the window on wall clock too: 0.74 s vs
+    0.90 s warm on sf0.1 documents, noop sink.)"""
     toks = simple_tokens_col(text_col)
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - n + 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    m = F.size(toks) - n + 1
+    acc = F.slice(toks, 1, m)
+    for j in range(1, n):
+        acc = F.zip_with(
+            acc, F.slice(toks, j + 1, m), lambda x, y: F.concat(x, F.lit(" "), y)
+        )
+    grams = F.when(F.size(toks) >= n, acc).otherwise(
+        F.array().cast("array<string>")
+    )
     return (
         df.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
         .distinct()
