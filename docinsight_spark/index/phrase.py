@@ -91,6 +91,24 @@ CAND_COLLECT_MAX = 200_000
 TERM_INLIST_MAX = 1024
 
 
+def phrase_single_pass_max_rows() -> int:
+    """Cost gate for the single-pass positional plan (round 7).
+
+    The candidate pre-pass (docs containing ALL the phrase's terms,
+    bounded collect, bucket pruning) exists to keep a hot-term phrase
+    from reading positions of every partial match — but for selective
+    batches it is pure overhead: an extra scan + aggregation + driver
+    round-trip that prunes nothing.  When the batch's total postings
+    volume Σ_(query,offset) df(term) — known exactly from term_stats,
+    one tiny pushed-down probe — is at most this many rows, the kernel
+    reads the matched rows directly and its completeness check (groups
+    with fewer rows than offsets never score) does the filtering.
+    Hot-term batches above the bound keep the pre-pass."""
+    import os
+
+    return int(os.environ.get("DOCINSIGHT_PHRASE_SINGLE_PASS_MAX", "2000000"))
+
+
 def _restrict_terms(df: DataFrame, terms: list[str]) -> DataFrame:
     if len(terms) <= TERM_INLIST_MAX:
         return df.filter(F.col("term").isin(terms))
@@ -165,6 +183,7 @@ def phrase_search(
     _meta: dict | None = None,
     _frames: dict[str, DataFrame] | None = None,
     _ds_frames: dict[str, DataFrame] | None = None,
+    _tstats: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, rank, docID, score) — exact phrase top-k.
 
@@ -177,7 +196,7 @@ def phrase_search(
     return _positional_search(
         spark, index_dir, queries, k=k, code_aware=code_aware,
         _meta=_meta, mode="phrase", window=0,
-        _frames=_frames, _ds_frames=_ds_frames,
+        _frames=_frames, _ds_frames=_ds_frames, _tstats=_tstats,
     )
 
 
@@ -191,6 +210,7 @@ def proximity_search(
     _meta: dict | None = None,
     _frames: dict[str, DataFrame] | None = None,
     _ds_frames: dict[str, DataFrame] | None = None,
+    _tstats: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, rank, docID, score) — NEAR(w) proximity top-k.
 
@@ -208,7 +228,7 @@ def proximity_search(
     return _positional_search(
         spark, index_dir, queries, k=k, code_aware=code_aware,
         _meta=_meta, mode="near", window=int(window),
-        _frames=_frames, _ds_frames=_ds_frames,
+        _frames=_frames, _ds_frames=_ds_frames, _tstats=_tstats,
     )
 
 
@@ -223,6 +243,7 @@ def _positional_search(
     window: int,
     _frames: dict[str, DataFrame] | None = None,
     _ds_frames: dict[str, DataFrame] | None = None,
+    _tstats: DataFrame | None = None,
 ) -> DataFrame:
     meta = _meta or fsio.read_json(f"{index_dir}/_meta.json")
     if not meta.get("positions", False):
@@ -281,6 +302,34 @@ def _positional_search(
             _restrict_terms(base, all_terms)
             .select(*cols)
             .withColumn("_root", F.lit(rid))
+        )
+
+    # cost probe: Σ_(query,offset) df(term) from term_stats — a pushed-
+    # down read of at most |distinct terms| rows per root.  Selective
+    # batches skip the candidate pre-pass entirely (single-pass plan);
+    # hot-term batches keep it so partial matches never pay the
+    # positions bytes.
+    from docinsight_spark.index.builder import load_term_stats
+
+    tstats = (
+        _tstats if _tstats is not None
+        else load_term_stats(spark, index_dir, meta)
+    )
+    df_rows = _restrict_terms(tstats, all_terms).collect()
+    df_map = {r["term"]: int(r["df"]) for r in df_rows}
+    cost_single = sum(df_map.get(t, 0) for _, _, t in offsets)
+    if cost_single <= phrase_single_pass_max_rows():
+        # a query with a term absent from the corpus can never match —
+        # and an entirely dead batch returns without any heavy job
+        alive = {
+            qid for qid in {q for q, _, _ in offsets}
+            if all(df_map.get(t, 0) > 0 for q, _, t in offsets if q == qid)
+        }
+        if not alive:
+            return empty
+        return _score_phrase_hits(
+            spark, index_dir, meta, roots, scan, offs, noff, None, None,
+            k, mode, window, _ds_frames=_ds_frames,
         )
 
     # pre-pass WITHOUT the positions column (column-pruned scan): docs
@@ -444,10 +493,14 @@ def _score_phrase_hits(
             ["docID", "_root"],
             "left_anti",
         )
+    hits = heavy.join(F.broadcast(offs), "term")
+    if cand is not None:
+        # pre-pass plan: only docs known to contain every term pay the
+        # shuffle; single-pass plans skip this (the kernel's
+        # completeness check drops partial groups for free)
+        hits = hits.join(cand, ["query_id", "docID"], "left_semi")
     hits = (
-        heavy.join(F.broadcast(offs), "term")
-        .join(cand, ["query_id", "docID"], "left_semi")
-        .join(F.broadcast(noff), "query_id")
+        hits.join(F.broadcast(noff), "query_id")
         .select("query_id", "docID", "_root", "off", "positions", "n")
         .repartition("query_id", "docID")
         .sortWithinPartitions("query_id", "docID", "_root", "off")

@@ -470,7 +470,7 @@ class Searcher:
         frames, ds_frames = self._positional_frames()
         return phrase_search(
             self.spark, self.index_dir, queries, k=k, _meta=self.meta,
-            _frames=frames, _ds_frames=ds_frames,
+            _frames=frames, _ds_frames=ds_frames, _tstats=self.term_stats,
         )
 
     def proximity(self, queries: DataFrame | list[tuple[int, str]],
@@ -486,6 +486,7 @@ class Searcher:
         return proximity_search(
             self.spark, self.index_dir, queries, k=k, window=window,
             _meta=self.meta, _frames=frames, _ds_frames=ds_frames,
+            _tstats=self.term_stats,
         )
 
     def prefix(self, prefixes: list[tuple[int, str]], k: int = 10,
