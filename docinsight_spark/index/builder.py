@@ -825,6 +825,15 @@ class IndexBuilder:
             docs = neardup_store.gate(
                 docs, unit=run_id, threshold=neardup_threshold
             )
+        # both writes below consume the SAME gated frame; without a
+        # persist each re-runs the corpus scan + dedup/gate joins (and
+        # the postings job additionally re-tokenizes nothing it can
+        # reuse).  MEMORY_AND_DISK spills for mega-runs; the existing
+        # _gate_cache finally-block unpersists even on a failed write.
+        from pyspark import StorageLevel
+
+        docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
+        self._gate_cache.append(docs)
 
         base = f"{self.dir}/runs/{run_id}"
         from pyspark.sql import Observation
