@@ -105,9 +105,22 @@ def oracle_from_index(
     tstats = load_term_stats(spark, index_dir, meta)
     dstats = load_doc_stats(spark, index_dir, meta)
     stats = CorpusStats(n_docs=int(meta["n_docs"]), avgdl=float(meta["avgdl"]))
+    code_aware = bool(meta.get("code_aware", True))
+    qlang = str(meta.get("query_lang", "java"))
+    # small batches tokenize driver-side (round 7): same budget and
+    # tokenizer-parity path as the WAND fast path, turning the per-call
+    # tokenize-UDF job + distinct exchange into a literal frame
+    from docinsight_spark.index.wand import DRIVER_TOKENIZE_MAX, _query_term_map
+
+    qterms = None
+    qmap = _query_term_map(queries, code_aware, DRIVER_TOKENIZE_MAX, qlang)
+    if qmap is not None:
+        qterms = spark.createDataFrame(
+            [(qid, t) for qid, ts in qmap.items() for t in ts],
+            "query_id long, term string",
+        )
     return search(
         queries, postings, tstats, dstats, stats, k=k,
-        code_aware=bool(meta.get("code_aware", True)),
-        lang=str(meta.get("query_lang", "java")),
-        require_all=require_all, neg_terms=neg_terms,
+        code_aware=code_aware, lang=qlang,
+        require_all=require_all, neg_terms=neg_terms, _qterms=qterms,
     )

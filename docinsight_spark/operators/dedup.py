@@ -40,31 +40,32 @@ def shingles(
 ) -> DataFrame:
     """(id, shingle) — distinct word n-gram shingles per doc.
 
-    Built IN-ROW with array higher-order functions (round 7): the
-    round-6 shape exploded tokens and ran ``lead()`` windows over
-    (id, pos), which shuffles and sorts every token of the corpus just
-    to pair each token with its neighbors — neighbors that already sit
-    next to it in the tokens array.  A ``zip_with`` chain over n
-    shifted slices produces the identical shingle set with ZERO
-    shuffle (guide §2.4: remove shuffles outright); the only remaining
-    exchange is the final ``distinct``, which any construction needs.
-    (A ``transform(sequence(...), i -> slice(...))`` form was measured
-    3-4× SLOWER than the window it replaced — per-element interpreted
-    slice+concat_ws; the zip_with chain does n−1 cheap lambda evals
-    per shingle and beats the window on wall clock too: 0.74 s vs
-    0.90 s warm on sf0.1 documents, noop sink.)"""
-    toks = simple_tokens_col(text_col)
-    m = F.size(toks) - n + 1
-    acc = F.slice(toks, 1, m)
-    for j in range(1, n):
-        acc = F.zip_with(
-            acc, F.slice(toks, j + 1, m), lambda x, y: F.concat(x, F.lit(" "), y)
-        )
-    grams = F.when(F.size(toks) >= n, acc).otherwise(
-        F.array().cast("array<string>")
+    Implementation note (round 7, MEASURED): two shuffle-free in-row
+    constructions were built and benchmarked against this window form —
+    ``transform(sequence(...), i -> concat_ws(slice(...)))`` (3-4×
+    slower: per-element interpreted slice+concat) and a ``zip_with``
+    chain over n shifted slices (wins the isolated construction, 0.74 s
+    vs 0.90 s on sf0.1 documents with a noop sink, but LOSES pipeline-
+    wide: near-dup store add 2.9 s vs 1.5 s, probe 3.4 s vs 2.4 s,
+    minhash sweep 2.3 s vs 1.9 s).  The consumers evaluate the shingle
+    relation up to four times (signatures, candidate join both sides,
+    sizes); the window's exchange is reused across all of them — an
+    implicit materialize-once point — while the in-row form re-tokenizes
+    per consumer.  Guide §1.1's empirical loop keeps the window."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(simple_tokens_col(text_col)).alias("pos", "term"),
     )
+    w = Window.partitionBy("id").orderBy("pos")
+    gram = F.concat_ws(" ", *[
+        F.col("term") if i == 0 else F.lead("term", i).over(w) for i in range(n)
+    ])
+    last = F.lead("term", n - 1).over(w)
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
+        toks.withColumn("_l", last)
+        .withColumn("shingle", gram)
+        .filter(F.col("_l").isNotNull())
+        .select("id", "shingle")
         .distinct()
     )
 

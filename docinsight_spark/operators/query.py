@@ -145,6 +145,7 @@ def search(
     lang: str = "java",
     require_all: bool = False,
     neg_terms: DataFrame | None = None,
+    _qterms: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end oracle search; optionally enrich with doc metadata.
 
@@ -153,8 +154,17 @@ def search(
     enrichment is the reference's 3-way join
     (``index/index_manager.py:258-286``) — the top-k side is tiny, so
     Catalyst broadcasts it against the docs dimension.
+
+    ``_qterms``: a prebuilt (query_id, term) frame of already-distinct
+    normalized terms — callers with driver-resident query batches pass
+    it to skip the tokenize-UDF + distinct exchange job per call
+    (:func:`docinsight_spark.evaluation.oracle_from_index`).
     """
-    qt = query_terms(queries, code_aware=code_aware, lang=lang)
+    qt = (
+        _qterms
+        if _qterms is not None
+        else query_terms(queries, code_aware=code_aware, lang=lang)
+    )
     ranked = topk(
         bm25_scores(
             qt, postings, tstats, dstats, stats,
