@@ -1184,6 +1184,30 @@ class IndexBuilder:
             wave += 1
         return sources[0], wave
 
+    def _shard_partitioned(self, postings: DataFrame) -> DataFrame:
+        """Exact shard→partition assignment (round 7): hash-repartition on
+        a per-shard PROBE int chosen so ``pmod(hash(probe), n) == shard``
+        — every shard whole in its own partition (the balance range
+        partitioning gave) with NO per-wave input sampling pass (the
+        key domain is fully known; sampling learned nothing).  Falls
+        back to range partitioning only if probe search failed.  Shared
+        by every full-posting rewrite: merge waves AND generation folds."""
+        probes = _shard_probes(self.spark, self.n_shards)
+        if probes is None:
+            return postings.repartitionByRange(
+                self.n_shards, "doc_bucket", "doc_sub"
+            )
+        probe_map = F.create_map(
+            *[F.lit(v) for s in range(self.n_shards)
+              for v in (s, probes[s])]
+        )
+        shard = (
+            F.col("doc_bucket") * F.lit(self.n_subs) + F.col("doc_sub")
+        ).cast("int")
+        return postings.repartition(
+            self.n_shards, F.element_at(probe_map, shard)
+        )
+
     def _merge_group(
         self, grp: list[str], out: str, unit: str, covers: list[str] | None = None
     ) -> None:
@@ -1194,30 +1218,8 @@ class IndexBuilder:
         row-group pruning rely on.  ``covers`` (the transitive leaf
         source set) rides in the manifest for crash-rerun validation."""
         postings = self._read_union([f"{s}/postings" for s in grp])
-        # Exact shard→partition assignment (round 7): hash-repartition on
-        # a per-shard PROBE int chosen so pmod(hash(probe), n) == shard —
-        # every shard whole in its own partition (the balance range
-        # partitioning gave) with NO per-wave input sampling pass (the
-        # key domain is fully known; sampling learned nothing).  Falls
-        # back to range partitioning only if probe search failed.
-        probes = _shard_probes(self.spark, self.n_shards)
-        if probes is not None:
-            probe_map = F.create_map(
-                *[F.lit(v) for s in range(self.n_shards)
-                  for v in (s, probes[s])]
-            )
-            shard = (
-                F.col("doc_bucket") * F.lit(self.n_subs) + F.col("doc_sub")
-            ).cast("int")
-            part = postings.repartition(
-                self.n_shards, F.element_at(probe_map, shard)
-            )
-        else:
-            part = postings.repartitionByRange(
-                self.n_shards, "doc_bucket", "doc_sub"
-            )
         (
-            part
+            self._shard_partitioned(postings)
             .sortWithinPartitions("doc_bucket", "doc_sub", "term", "docID")
             .write.mode("overwrite")
             # merge-wave outputs are intermediates too (read once by the
@@ -2314,9 +2316,10 @@ class IndexBuilder:
                     [f"{s}/postings" for s in vsrcs]
                 )
             (
-                postings_in.repartitionByRange(
-                    self.n_shards, "doc_bucket", "doc_sub"
-                )
+                # probe-partitioned like every merge wave (round 7): the
+                # fold is the same full-posting rewrite, so it sheds the
+                # same per-fold input sampling pass
+                self._shard_partitioned(postings_in)
                 .sortWithinPartitions("doc_bucket", "doc_sub", "term", "docID")
                 .write.mode("overwrite")
                 .option("compression", self._postings_codec())

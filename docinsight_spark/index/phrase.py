@@ -601,7 +601,6 @@ def _score_phrase_hits(
                 yield out
 
     ptf = hits.mapInPandas(kern, out_schema)
-    pdf = ptf.groupBy("query_id").agg(F.count(F.lit(1)).alias("df"))
 
     stats_dirs = [("base", index_dir)] + [
         (g["id"], f"{index_dir}/generations/{g['id']}")
@@ -629,8 +628,16 @@ def _score_phrase_hits(
     ptf = ptf.withColumn(
         "doc_bucket", F.pmod(F.col("docID"), F.lit(n_buckets)).cast("int")
     )
+    # per-query df as a WINDOW over the kernel output, not a groupBy +
+    # self-broadcast-join (round 7): the self-join referenced the
+    # mapInPandas subtree twice, and only the exchange BELOW the kernel
+    # is reusable — the sort + kernel itself executed twice per call.
+    # The window needs the same tiny exchange the rank window needs and
+    # the kernel runs ONCE.
     scored = (
-        ptf.join(F.broadcast(pdf), "query_id")
+        ptf.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("query_id"))
+        )
         .join(ds, ["doc_bucket", "docID", "_root"])
         .withColumn(
             "score",

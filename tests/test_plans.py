@@ -207,10 +207,12 @@ def test_phrase_term_pushdown_and_positions_pruning(spark, pos_index, monkeypatc
     (b) keep positions bytes out of the candidate pre-pass: at least
     one postings scan reads WITHOUT the positions column, and only the
     adjacency branch reads it.  Pinned on the lazy fallback plan
-    (CAND_COLLECT_MAX=0), where both branches are visible in one plan."""
+    (CAND_COLLECT_MAX=0) with the round-7 cost probe forced to the
+    pre-pass plan, where both branches are visible in one plan."""
     from docinsight_spark.index import phrase as P
 
     monkeypatch.setattr(P, "CAND_COLLECT_MAX", -1)
+    monkeypatch.setenv("DOCINSIGHT_PHRASE_SINGLE_PASS_MAX", "-1")
     res = P.phrase_search(spark, pos_index, [(0, "public static")], k=5)
     p = plan_text(res)
     pushed = [l for l in p.splitlines() if "PushedFilters" in l]
@@ -222,12 +224,46 @@ def test_phrase_term_pushdown_and_positions_pruning(spark, pos_index, monkeypatc
     assert heavy, "no scan reads positions at all:\n" + "\n".join(reads)
 
 
-def test_phrase_collected_candidates_prune_buckets(spark, pos_index, real_bigram):
-    """On the collected-candidates path (the common phrase) the heavy
-    positions scan must carry a doc_bucket partition filter — the
-    positions read only lists buckets that can produce a match."""
+def test_phrase_single_pass_plan(spark, pos_index, real_bigram):
+    """Round-7 cost-probe fast path: a selective batch (Σ df under the
+    single-pass bound — every tiny-corpus phrase qualifies) must skip
+    the candidate pre-pass: exactly ONE postings scan, it reads the
+    positions column, and the term IN-list still reaches parquet."""
     from docinsight_spark.index.phrase import phrase_search
 
+    res = phrase_search(spark, pos_index, [(0, real_bigram)], k=5)
+    p = plan_text(res)
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l]
+    assert any("In(term" in l for l in pushed), "\n".join(pushed)
+    # main plan section only: the DPP subquery listing duplicates the
+    # probe subtree's scan in the printout (reused at runtime)
+    main = p.split("Subqueries")[0]
+    reads = [l for l in main.splitlines() if "ReadSchema" in l and "term" in l]
+    assert len(reads) == 1 and "positions" in reads[0], "\n".join(reads)
+
+
+def test_phrase_absent_term_short_circuits(spark, pos_index):
+    """A phrase containing a corpus-absent term can never match: the
+    cost probe answers from term_stats and the returned frame is a
+    literal empty relation — no postings scan in the plan at all."""
+    from docinsight_spark.index.phrase import phrase_search
+
+    res = phrase_search(spark, pos_index, [(0, "zzz_nonexistent_term qq")], k=5)
+    assert res.count() == 0
+    p = plan_text(res)
+    assert "parquet" not in p.lower(), p
+
+
+def test_phrase_collected_candidates_prune_buckets(
+    spark, pos_index, real_bigram, monkeypatch
+):
+    """On the collected-candidates path (the hot-term regime — forced
+    here by zeroing the round-7 single-pass bound) the heavy positions
+    scan must carry a doc_bucket partition filter — the positions read
+    only lists buckets that can produce a match."""
+    from docinsight_spark.index.phrase import phrase_search
+
+    monkeypatch.setenv("DOCINSIGHT_PHRASE_SINGLE_PASS_MAX", "-1")
     res = phrase_search(spark, pos_index, [(0, real_bigram)], k=5)
     p = plan_text(res)
     part = [
