@@ -119,6 +119,20 @@ def oracle_from_index(
             [(qid, t) for qid, ts in qmap.items() for t in ts],
             "query_id long, term string",
         )
+        # the batch's term set is known at PLAN time — push it into the
+        # postings scan as an IN-list (identity under the inner term
+        # join; the merged layout is term-sorted within each shard file,
+        # so parquet row-group min/max stats skip non-matching groups).
+        # The join alone cannot do this: its build side is unknown to
+        # the scan.  Guard the literal list like the phrase path does.
+        from pyspark.sql import functions as F
+
+        # (neg_terms excludes docs via their OWN postings rows — the
+        # filter would drop them, so only the pure-positive shapes
+        # take it; require_all intersects the same positive terms.)
+        terms = sorted({t for ts in qmap.values() for t in ts})
+        if neg_terms is None and 0 < len(terms) <= 1024:
+            postings = postings.filter(F.col("term").isin(terms))
     return search(
         queries, postings, tstats, dstats, stats, k=k,
         code_aware=code_aware, lang=qlang,
